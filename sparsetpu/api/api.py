@@ -1,0 +1,170 @@
+"""Public user API.
+
+Mirrors the reference's documented programmer surface (README.md:34-46,
+csr_hw_wrapper.h:9-17):
+
+  reference                              sparsetpu
+  -------------------------------------  ----------------------------------
+  create_csr_hw_matrix(m, hw, bitmap)    pack(matrix, config) -> SparseMatrix
+  create_csr_hw_x_vector(hw_x, x, ...)   SparseMatrix.prepare_x(x)
+  create_csr_hw_y_vector(...)            (internal: fused on device)
+  spmv_hw(hw, hw_x, y, bitmap)           SparseMatrix.spmv(x) / spmv(m, x)
+  delete_csr_hw_matrix / _x / _y         (no-ops: GC + XLA allocator)
+
+The aliases with reference names are provided for drop-in familiarity; the
+idiomatic surface is ``pack``/``spmv``/``SparseMatrix``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CSRMatrix
+from ..kernels.spmv_pallas import GStreamDevice
+from ..kernels.spmv_xla import spmv_coo_xla, spmm_coo_xla
+from ..pack.gather_stream import GStreamMatrix, pack_gstream, unpack_gstream
+from ..utils.config import SpmvConfig
+
+
+class SparseMatrix:
+    """A packed, device-resident sparse matrix with an ``@`` operator.
+
+    The user-facing handle combining the reference's csr_hw_matrix array +
+    empty-rows bitmap + per-CU bookkeeping (README.md:38) into one object.
+    """
+
+    def __init__(self, matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
+                 backend: str = "auto", interpret: bool = False):
+        self.config = config or SpmvConfig(dtype=matrix.dtype)
+        self.nr_rows = matrix.nr_rows
+        self.nr_cols = matrix.nr_cols
+        self.nr_nzeros = matrix.nr_nzeros
+        self.dtype = np.dtype(np.float32) if not self.config.is_double \
+            else np.dtype(np.float64)
+        self._backend = self._resolve_backend(backend)
+        self._device: Optional[GStreamDevice] = None
+        self._packed: Optional[GStreamMatrix] = None
+        if self._backend == "pallas":
+            self._packed = pack_gstream(matrix, self.config,
+                                        value_dtype=np.float32)
+            self._device = GStreamDevice(self._packed, interpret=interpret)
+        else:
+            coo = matrix.to_coo()
+            self._row_ind = jnp.asarray(coo.row_ind)
+            self._col_ind = jnp.asarray(coo.col_ind)
+            self._values = jnp.asarray(coo.values.astype(self.dtype))
+
+    @staticmethod
+    def _resolve_backend(backend: str) -> str:
+        if backend != "auto":
+            return backend
+        return "pallas"
+
+    @property
+    def shape(self):
+        return (self.nr_rows, self.nr_cols)
+
+    @property
+    def packed(self) -> Optional[GStreamMatrix]:
+        return self._packed
+
+    def spmv(self, x) -> jax.Array:
+        """y = A @ x (spmv_hw analogue, csr_hw_wrapper.cpp:193-288, with the
+        per-block device calls and host accumulation fused into one device
+        program)."""
+        if self._backend == "pallas":
+            return self._device.spmv(x)
+        x = jnp.asarray(x, dtype=self.dtype)
+        return spmv_coo_xla(self._row_ind, self._col_ind, self._values, x,
+                            self.nr_rows)
+
+    def spmm(self, x) -> jax.Array:
+        """Y = A @ X for X of shape (nr_cols, k) (multi-RHS extension)."""
+        x = jnp.asarray(x)
+        if self._backend == "pallas":
+            # v1: column loop over the Pallas SpMV; fused SpMM kernel later
+            cols = [self._device.spmv(x[:, k]) for k in range(x.shape[1])]
+            return jnp.stack(cols, axis=1)
+        return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
+                            self.nr_rows)
+
+    def __matmul__(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return self.spmv(x)
+        if x.ndim == 2:
+            return self.spmm(x)
+        raise ValueError("operand must be a vector or matrix")
+
+    def prepare_x(self, x) -> jax.Array:
+        """Pre-pack x for repeated spmv calls (create_csr_hw_x_vector,
+        csr_hw_wrapper.cpp:187-191)."""
+        if self._backend == "pallas":
+            return self._device.prepare_x(x)
+        return jnp.asarray(x, dtype=self.dtype)
+
+    def spmv_packed_x(self, x_packed) -> jax.Array:
+        if self._backend == "pallas":
+            return self._device.spmv(x_packed, x_is_packed=True)
+        return self.spmv(x_packed)
+
+    def unpack(self) -> CSRMatrix:
+        if self._packed is None:
+            raise ValueError("XLA-backend matrix: keep the original CSR")
+        return unpack_gstream(self._packed)
+
+    # reporting (main.cpp:84-88)
+    def storage_overhead(self) -> float:
+        if self._packed is not None:
+            return self._packed.storage_overhead()
+        return 1.0
+
+    def fill_factor(self) -> float:
+        if self._packed is not None:
+            return self._packed.fill_factor
+        return 1.0
+
+
+def pack(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
+         backend: str = "auto", interpret: bool = False) -> SparseMatrix:
+    """create_csr_hw_matrix analogue (README.md:38)."""
+    return SparseMatrix(matrix, config, backend=backend, interpret=interpret)
+
+
+def spmv(matrix: Union[SparseMatrix, CSRMatrix], x,
+         config: Optional[SpmvConfig] = None) -> jax.Array:
+    if isinstance(matrix, CSRMatrix):
+        matrix = pack(matrix, config)
+    return matrix.spmv(x)
+
+
+def unpack(matrix: SparseMatrix) -> CSRMatrix:
+    return matrix.unpack()
+
+
+# --- reference-named aliases (README.md:34-46) ------------------------------
+
+def create_csr_hw_matrix(matrix: CSRMatrix,
+                         config: Optional[SpmvConfig] = None) -> SparseMatrix:
+    return pack(matrix, config)
+
+
+def create_csr_hw_x_vector(hw_matrix: SparseMatrix, x) -> jax.Array:
+    return hw_matrix.prepare_x(x)
+
+
+def spmv_hw(hw_matrix: SparseMatrix, hw_x) -> jax.Array:
+    return hw_matrix.spmv_packed_x(hw_x)
+
+
+def delete_csr_hw_matrix(hw_matrix) -> None:
+    """No-op: device buffers are freed by GC / the XLA allocator.  Kept so
+    reference-shaped programs port line-for-line."""
+
+
+def delete_csr_hw_x_vector(hw_x) -> None:
+    """No-op (see delete_csr_hw_matrix)."""

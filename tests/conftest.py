@@ -1,0 +1,23 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+This is the TPU-native "fake backend" testing mechanism (SURVEY.md section 4
+item 2 — the reference tests multi-CU hardware in the SDSoC emulator without
+a board, Makefile:103-108): multi-chip sharding tests run on a simulated
+8-device CPU mesh, and Pallas kernels run in interpreter mode.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,72 @@
+"""SpMV correctness: XLA path and Pallas kernel (interpret mode) vs gold."""
+
+import numpy as np
+import pytest
+
+from sparsetpu import SparseMatrix, SpmvConfig
+from sparsetpu.formats import (banded_csr, default_tolerance, laplace_2d,
+                               random_csr, spmv_gold, verification)
+
+
+def _check(m, backend, interpret=True, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(m.nr_cols)
+    y_gold = spmv_gold(m, x)
+    sm = SparseMatrix(m, backend=backend, interpret=interpret)
+    y = np.asarray(sm.spmv(x))
+    atol, rtol = default_tolerance(np.float32,
+                                   m.nr_nzeros / max(m.nr_rows, 1))
+    assert verification(y_gold, y, diff_thres=max(atol, 1e-4),
+                        rel_thres=max(rtol, 1e-4)) == 0
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("shape,density,kwargs", [
+    ((64, 64), 0.1, {}),
+    ((200, 300), 0.05, {"empty_row_frac": 0.3}),
+    ((100, 3000), 0.02, {}),
+    ((50, 40000), 0.004, {}),        # multi column-block
+    ((500, 100), 0.08, {"powerlaw": True}),
+])
+def test_spmv_backends(backend, shape, density, kwargs):
+    m = random_csr(*shape, density=density, seed=11, **kwargs)
+    _check(m, backend)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_spmv_structured(backend):
+    _check(banded_csr(300, 300, bandwidth=5), backend)
+    _check(laplace_2d(17), backend)
+
+
+def test_spmm():
+    m = random_csr(60, 80, density=0.1, seed=12)
+    x = np.random.default_rng(2).standard_normal((80, 3))
+    sm = SparseMatrix(m, backend="xla")
+    y = np.asarray(sm.spmm(x))
+    assert np.allclose(y, m.to_dense() @ x, atol=1e-4, rtol=1e-4)
+
+
+def test_matmul_operator():
+    m = random_csr(30, 30, density=0.2, seed=13)
+    sm = SparseMatrix(m, backend="xla")
+    x = np.ones(30)
+    assert np.allclose(np.asarray(sm @ x), m.to_dense() @ x,
+                       atol=1e-5, rtol=1e-5)
+
+
+def test_reference_shaped_api():
+    """The README.md:34-46 call sequence, reference-style."""
+    from sparsetpu.api import (create_csr_hw_matrix, create_csr_hw_x_vector,
+                               delete_csr_hw_matrix, delete_csr_hw_x_vector,
+                               spmv_hw)
+    m = random_csr(40, 50, density=0.1, seed=14)
+    hw = create_csr_hw_matrix(m)
+    hw._device.interpret = True  # tests run on CPU
+    x = np.random.default_rng(4).standard_normal(50)
+    hw_x = create_csr_hw_x_vector(hw, x)
+    y = np.asarray(spmv_hw(hw, hw_x))
+    assert verification(spmv_gold(m, x), y, diff_thres=1e-4,
+                        rel_thres=1e-4) == 0
+    delete_csr_hw_x_vector(hw_x)
+    delete_csr_hw_matrix(hw)
