@@ -1,0 +1,167 @@
+"""Benchmark harness: the main.cpp measurement protocol, extended.
+
+Reproduces every number the reference prints per run (SURVEY.md section 6):
+  SW (gold) time           main.cpp:61-65
+  scan time                csr_hw.cpp:141-143
+  repack time              main.cpp:67-72
+  device (kernel) time     csr_hw_wrapper.cpp:272-274
+  accumulation time        csr_hw_wrapper.cpp:276-285
+  total time               csr_hw_wrapper.cpp:285
+  data moved (MB)          csr_hw.cpp:420-421
+  storage overhead         main.cpp:84-88
+  verification PASS/FAIL   main.cpp:77-82
+plus the derived metrics the reference lacks: nnz/s, GFLOP/s, fraction of
+the HBM roofline, and fill factor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..formats.csr import CSRMatrix
+from ..formats.gold import spmv_gold, verification, default_tolerance
+from ..utils.config import SpmvConfig
+from ..utils.timing import PhaseTimer
+
+# HBM bandwidth per chip, GB/s (for roofline %); v5e default, overridable
+HBM_GBPS = {"v5 lite": 819.0, "v5litepod": 819.0, "v4": 1228.0,
+            "v5p": 2765.0, "v6e": 1638.0}
+
+
+def detect_hbm_gbps() -> float:
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+        for k, v in HBM_GBPS.items():
+            if k in kind:
+                return v
+    except Exception:
+        pass
+    return 819.0
+
+
+@dataclasses.dataclass
+class BenchResult:
+    matrix: str
+    nr_rows: int
+    nr_cols: int
+    nr_nzeros: int
+    gold_ms: float
+    scan_ms: float
+    pack_ms: float
+    kernel_ms: float
+    finish_ms: float
+    total_ms: float
+    data_mb: float
+    storage_overhead: float
+    fill_factor: float
+    gnnz_s: float
+    gflop_s: float
+    roofline_frac: float
+    verify_errors: int
+
+    def report(self) -> str:
+        status = "PASS" if self.verify_errors == 0 else "FAIL"
+        return "\n".join([
+            f"Matrix {self.matrix}: {self.nr_rows} x {self.nr_cols}, "
+            f"{self.nr_nzeros} non-zeros",
+            f"SW (gold) execution time {self.gold_ms:.3f} msec",
+            f"Scan matrix time {self.scan_ms:.3f} msec",
+            f"Matrix repack time {self.pack_ms:.3f} msec",
+            f"HW (kernel) execution time {self.kernel_ms:.3f} msec",
+            f"Results accumulation time {self.finish_ms:.3f} msec",
+            f"Total SpMV time {self.total_ms:.3f} msec",
+            f"Data transferred {self.data_mb:.2f} MB",
+            f"Storage overhead vs CSR {100 * (self.storage_overhead - 1):+.1f}% "
+            f"(fill factor {self.fill_factor:.3f})",
+            f"Throughput {self.gnnz_s:.2f} Gnnz/s, {self.gflop_s:.2f} GFLOP/s "
+            f"({100 * self.roofline_frac:.1f}% of HBM roofline)",
+            f"Verification: {status} ({self.verify_errors} errors)",
+        ])
+
+
+def bench_spmv(matrix: CSRMatrix, name: str = "random",
+               config: Optional[SpmvConfig] = None, repeats: int = 20,
+               backend: str = "pallas") -> BenchResult:
+    import jax
+    from ..api.api import SparseMatrix
+    from ..pack.scan import scan_matrix
+
+    timer = PhaseTimer()
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.0, 1.0, matrix.nr_cols)  # init_vector_rand, csr.cpp:170
+
+    with timer.phase("gold"):
+        y_gold = spmv_gold(matrix, x)
+
+    cfg = config or SpmvConfig(dtype=matrix.dtype)
+    with timer.phase("scan"):
+        scan_matrix(matrix, cfg)
+
+    with timer.phase("pack"):
+        sm = SparseMatrix(matrix, cfg, backend=backend)
+        xp = sm.prepare_x(x)
+        jax.block_until_ready(sm.spmv_packed_x(xp))  # compile + upload
+
+    # steady-state timing, per-call blocked
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = sm.spmv_packed_x(xp)
+        jax.block_until_ready(y)
+        ts.append(time.perf_counter() - t0)
+    total_s = float(np.min(ts))
+    y = np.asarray(y)
+
+    # split kernel vs finish when the backend exposes it
+    kernel_s = finish_s = float("nan")
+    if backend == "pallas" and sm._device is not None:
+        from ..kernels.spmv_pallas import _gstream_chunk_sums
+        from ..kernels.spmv_xla import spmv_chunked_xla
+        d = sm._device
+        kf = lambda: _gstream_chunk_sums(
+            d.step_window, xp, d.values, d.cell_idx, d.route,
+            tiles_per_step=d.meta.tiles_per_step, G=d.meta.G,
+            n_steps=d.meta.n_steps, interpret=d.interpret)
+        cs = jax.block_until_ready(kf())
+        kts, fts = [], []
+        for _ in range(max(repeats // 2, 3)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(kf())
+            kts.append(time.perf_counter() - t0)
+        ff = lambda: spmv_chunked_xla(cs.reshape(-1), d.chunk_row,
+                                      d.meta.nr_rows)
+        jax.block_until_ready(ff())
+        for _ in range(max(repeats // 2, 3)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(ff())
+            fts.append(time.perf_counter() - t0)
+        kernel_s, finish_s = float(np.min(kts)), float(np.min(fts))
+
+    atol, rtol = default_tolerance(sm.dtype,
+                                   matrix.nr_nzeros / max(matrix.nr_rows, 1))
+    errors = verification(y_gold, y, diff_thres=atol, rel_thres=rtol)
+
+    nnz = matrix.nr_nzeros
+    data_mb = (sm.packed.storage_bytes() / 1e6 if sm.packed is not None
+               else nnz * 8 / 1e6)
+    hbm = detect_hbm_gbps()
+    floor_s = (data_mb * 1e6) / (hbm * 1e9)
+    return BenchResult(
+        matrix=name, nr_rows=matrix.nr_rows, nr_cols=matrix.nr_cols,
+        nr_nzeros=nnz,
+        gold_ms=timer.ms("gold"), scan_ms=timer.ms("scan"),
+        pack_ms=timer.ms("pack"),
+        kernel_ms=kernel_s * 1e3, finish_ms=finish_s * 1e3,
+        total_ms=total_s * 1e3,
+        data_mb=data_mb,
+        storage_overhead=sm.storage_overhead(),
+        fill_factor=sm.fill_factor(),
+        gnnz_s=nnz / total_s / 1e9,
+        gflop_s=2 * nnz / total_s / 1e9,
+        roofline_frac=floor_s / total_s,
+        verify_errors=errors)

@@ -1,0 +1,231 @@
+"""Multi-chip distributed SpMV (mesh + shard_map).
+
+The reference targets a single ZCU102 board: its only "communication" is
+PS<->PL DMA (spmv.h:7-21 pragmas) and a host-side accumulation loop
+(csr_hw_wrapper.cpp:277-281).  This module is the new first-class
+communication layer (SURVEY.md section 2.9): matrix rows are nnz-balanced
+across chips (the compute-unit partitioning of csr_hw.cpp:459-468 lifted to
+the mesh axis), the x vector is sharded by column and all-gathered over ICI
+before the block-local SpMV, and each chip's partial y is already disjoint
+(row sharding) so no reduction is needed.
+
+Design notes (scaling-book recipe): pick a mesh, annotate shardings, let
+XLA insert collectives.  The all-gather of x rides ICI inside a slice; for
+multi-host it crosses DCN once per step.  Compute/communication overlap of
+the gather with the first column-window's compute is XLA's latency-hiding
+scheduler's job once the kernel is decomposed per window (future: explicit
+ppermute ring to overlap manually).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats.csr import CSRMatrix
+from ..pack.balance import balance_rows
+from ..pack.gather_stream import GStreamMatrix, pack_gstream, STRIPE
+from ..utils.config import SpmvConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@dataclasses.dataclass
+class ShardedSpmv:
+    """Row-sharded packed matrix bound to a mesh.
+
+    Each of the P partitions is packed independently (per-partition local
+    row ids), padded to a common step count, stacked on a leading axis and
+    sharded over the mesh.  ``spmv`` is a single jitted SPMD program:
+    all-gather x -> local GStream kernel -> local finish -> sharded y.
+    """
+
+    mesh: Mesh
+    axis: str
+    nr_rows: int
+    nr_cols: int
+    nr_nzeros: int
+    row_starts: np.ndarray          # (P,) global row offset per partition
+    rows_per_part: int              # padded local y length
+    # stacked + sharded device arrays (leading dim = P)
+    values: jax.Array
+    cell_idx: jax.Array
+    route: jax.Array
+    chunk_row: jax.Array            # (P, n_chunks) local row ids (trap = pad)
+    step_window: jax.Array          # (P, n_steps)
+    G: int
+    tiles_per_step: int
+    n_steps: int
+    padded_cols: int
+    interpret: bool = False
+
+    @property
+    def num_partitions(self) -> int:
+        return int(self.values.shape[0])
+
+    def spmv(self, x) -> jax.Array:
+        x = jnp.asarray(x, dtype=self.values.dtype)
+        pad = self.padded_cols - self.nr_cols
+        if pad:
+            x = jnp.pad(x, (0, pad))
+        y = _sharded_spmv_jit(
+            self.values, self.cell_idx, self.route, self.chunk_row,
+            self.step_window, x,
+            mesh=self.mesh, axis=self.axis,
+            rows_per_part=self.rows_per_part, G=self.G,
+            tiles_per_step=self.tiles_per_step, n_steps=self.n_steps,
+            interpret=self.interpret)
+        # y: (P, rows_per_part) -> global y
+        return _scatter_rows(y, self.row_starts, self.nr_rows)
+
+
+def _scatter_rows(y_parts, row_starts, nr_rows):
+    """Concatenate per-partition contiguous row ranges into the global y."""
+    parts = []
+    P_ = y_parts.shape[0]
+    for p in range(P_):
+        start = int(row_starts[p])
+        end = int(row_starts[p + 1]) if p + 1 < len(row_starts) else nr_rows
+        parts.append(y_parts[p, :end - start])
+    return jnp.concatenate(parts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis", "rows_per_part", "G",
+                                    "tiles_per_step", "n_steps", "interpret"))
+def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, x,
+                      *, mesh, axis, rows_per_part, G, tiles_per_step,
+                      n_steps, interpret):
+    from jax.experimental.shard_map import shard_map
+
+    def local(values, cell_idx, route, chunk_row, step_window, x_shard):
+        # x is column-sharded across the mesh: gather the full vector over
+        # ICI (the reference's per-CU x broadcast, spmv.cpp:180-192, lifted
+        # to the chip level)
+        x_full = jax.lax.all_gather(x_shard, axis).reshape(-1)
+        x2 = x_full.reshape(-1, STRIPE)
+        y = _local_spmv(step_window[0], x2, values[0], cell_idx[0],
+                        route[0], chunk_row[0],
+                        rows_per_part=rows_per_part, G=G,
+                        tiles_per_step=tiles_per_step, n_steps=n_steps,
+                        interpret=interpret)
+        return y[None]
+
+    spec_m = P(axis)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec_m, spec_m, spec_m, spec_m, spec_m,
+                               P(axis)),
+                     out_specs=P(axis))(
+        values, cell_idx, route, chunk_row, step_window, x)
+
+
+def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, *,
+                rows_per_part, G, tiles_per_step, n_steps, interpret):
+    """Per-shard SpMV: Pallas kernel when available, XLA fallback in
+    simulated-mesh tests (CPU devices cannot run the TPU kernel)."""
+    from ..kernels.spmv_pallas import _gstream_chunk_sums
+    if interpret == "xla":
+        # emulate the kernel semantics in pure XLA (for CPU mesh tests)
+        chunk_sums = _chunk_sums_xla(step_window, x2, values, cell_idx,
+                                     route, G=G,
+                                     tiles_per_step=tiles_per_step)
+    else:
+        chunk_sums = _gstream_chunk_sums(
+            step_window, x2, values, cell_idx, route,
+            tiles_per_step=tiles_per_step, G=G, n_steps=n_steps,
+            interpret=bool(interpret))
+    y = jax.ops.segment_sum(chunk_sums.reshape(-1), chunk_row,
+                            num_segments=rows_per_part + 1,
+                            indices_are_sorted=False)
+    return y[:rows_per_part]
+
+
+def _chunk_sums_xla(step_window, x2, values, cell_idx, route, *, G,
+                    tiles_per_step):
+    """Reference semantics of the kernel in plain XLA ops (works on any
+    backend; used by simulated-mesh tests and as a drop-in fallback)."""
+    n_rows_tot = values.shape[0]
+    n_tiles = n_rows_tot // 8
+    # window base (in stripes) per tile
+    step_of_tile = jnp.arange(n_tiles) // tiles_per_step
+    base = step_window[step_of_tile] * (8 * G)          # stripes
+    i1 = cell_idx.reshape(n_tiles, 8, STRIPE).astype(jnp.int32)
+    j = route.reshape(n_tiles, 8, STRIPE).astype(jnp.int32)
+    v = values.reshape(n_tiles, 8, STRIPE)
+    # g1[t, s, r] = x2[base[t] + i1[t, s, r], r]
+    stripe_idx = base[:, None, None] + i1
+    lanes = jnp.arange(STRIPE)[None, None, :]
+    g1 = x2[stripe_idx, lanes]
+    g2 = jnp.take_along_axis(g1, j, axis=2)
+    return jnp.sum(v * g2, axis=1)
+
+
+def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
+               config: Optional[SpmvConfig] = None,
+               interpret=False) -> ShardedSpmv:
+    """Pack + shard a CSR matrix over a mesh (the multi-chip
+    create_csr_hw_matrix)."""
+    P_ = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis]))
+    part = balance_rows(matrix, P_)
+    packs: List[GStreamMatrix] = []
+    for p in range(P_):
+        r0, r1 = int(part.row_start[p]), int(part.row_end[p])
+        sub = _slice_rows(matrix, r0, r1)
+        packs.append(pack_gstream(sub, config))
+    G = max(pk.G for pk in packs)
+    if any(pk.G != G for pk in packs):
+        # re-pack shards that chose a smaller window (tiny shards)
+        raise NotImplementedError(
+            "heterogeneous window sizes across shards; use uniform ncols")
+    tps = packs[0].tiles_per_step
+    n_steps = max(pk.n_steps for pk in packs)
+    rows_per_part = int(max(part.row_end - part.row_start))
+
+    def pad_steps(a, target_steps, per_step_rows, fill=0):
+        cur = a.shape[0] // per_step_rows if per_step_rows else 0
+        if cur == target_steps:
+            return a
+        padshape = ((target_steps - cur) * per_step_rows,) + a.shape[1:]
+        return np.concatenate([a, np.full(padshape, fill, a.dtype)], axis=0)
+
+    vals, cells, routes, rowmaps, winds = [], [], [], [], []
+    for p, pk in enumerate(packs):
+        vals.append(pad_steps(pk.values, n_steps, tps * 8))
+        cells.append(pad_steps(pk.cell_idx, n_steps, tps * 8))
+        routes.append(pad_steps(pk.route, n_steps, tps * 8))
+        # local chunk_row trap = rows_per_part (local pad trap)
+        cr = pk.chunk_row.copy()
+        cr[cr == pk.nr_rows] = rows_per_part
+        rowmaps.append(pad_steps(cr, n_steps, tps, fill=rows_per_part))
+        winds.append(pad_steps(pk.step_window, n_steps, 1))
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(jnp.asarray(a), sharding)
+    return ShardedSpmv(
+        mesh=mesh, axis=axis, nr_rows=matrix.nr_rows,
+        nr_cols=matrix.nr_cols, nr_nzeros=matrix.nr_nzeros,
+        row_starts=part.row_start, rows_per_part=rows_per_part,
+        values=dev(np.stack(vals)), cell_idx=dev(np.stack(cells)),
+        route=dev(np.stack(routes)),
+        chunk_row=dev(np.stack([r.reshape(-1) for r in rowmaps])),
+        step_window=dev(np.stack(winds)),
+        G=G, tiles_per_step=tps, n_steps=n_steps,
+        padded_cols=packs[0].padded_cols, interpret=interpret)
+
+
+def _slice_rows(matrix: CSRMatrix, r0: int, r1: int) -> CSRMatrix:
+    lo, hi = int(matrix.row_ptr[r0]), int(matrix.row_ptr[r1])
+    return CSRMatrix(matrix.row_ptr[r0:r1 + 1] - lo,
+                     matrix.col_ind[lo:hi], matrix.values[lo:hi],
+                     r1 - r0, matrix.nr_cols)

@@ -1,0 +1,114 @@
+"""Iterative solvers built on the SpMV kernel (flagship workloads).
+
+The reference is a single-shot y = A x benchmark (main.cpp); real
+deployments run SpMV inside iterative solvers, so the framework ships a
+conjugate-gradient family whose inner loop is the packed SpMV.  Everything
+is jittable and mesh-shardable: the "training step" of this framework is
+one CG iteration (SpMV + axpys + dot products -> psum over the mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+def cg(spmv: Callable[[jax.Array], jax.Array], b: jax.Array,
+       x0: Optional[jax.Array] = None, tol: float = 1e-6,
+       maxiter: int = 1000) -> CGResult:
+    """Conjugate gradients for SPD A, with A given as a closure over the
+    packed SpMV.  Fixed-shape lax.while_loop — compiles once, runs on
+    device end-to-end."""
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    r = b - spmv(x)
+    p = r
+    rs = jnp.vdot(r, r)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return jnp.logical_and(rs > tol2, k < maxiter)
+
+    def body(state):
+        x, r, p, rs, k = state
+        ap = spmv(p)
+        alpha = rs / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        return (x, r, p, rs_new, k + 1)
+
+    x, r, p, rs, k = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+    return CGResult(x, k, jnp.sqrt(rs))
+
+
+def cg_step(spmv: Callable[[jax.Array], jax.Array]):
+    """One CG iteration as a standalone jittable step function — the
+    framework's 'training step' for the multi-chip dry run."""
+
+    def step(x, r, p, rs):
+        ap = spmv(p)
+        alpha = rs / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new
+
+    return step
+
+
+def bicgstab(spmv: Callable[[jax.Array], jax.Array], b: jax.Array,
+             x0: Optional[jax.Array] = None, tol: float = 1e-6,
+             maxiter: int = 1000) -> CGResult:
+    """BiCGSTAB for general (non-symmetric) A."""
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    r = b - spmv(x)
+    rhat = r
+    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    v = p = jnp.zeros_like(b)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+    def cond(st):
+        return jnp.logical_and(jnp.vdot(st[1], st[1]) > tol2,
+                               st[-1] < maxiter)
+
+    def body(st):
+        x, r, rhat, rho, alpha, omega, v, p, k = st
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        v = spmv(p)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        t = spmv(s)
+        omega = jnp.vdot(t, s) / jnp.maximum(jnp.vdot(t, t), 1e-30)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        return (x, r, rhat, rho_new, alpha, omega, v, p, k + 1)
+
+    st = jax.lax.while_loop(cond, body,
+                            (x, r, rhat, rho, alpha, omega, v, p, 0))
+    return CGResult(st[0], st[-1], jnp.linalg.norm(st[1]))
+
+
+def power_iteration(spmv, n, iters: int = 50, seed: int = 0):
+    """Dominant eigenvalue estimate — exercises repeated SpMV."""
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n,))
+    def body(_, v):
+        w = spmv(v)
+        return w / jnp.linalg.norm(w)
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    return jnp.vdot(v, spmv(v)), v
