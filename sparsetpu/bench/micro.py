@@ -35,29 +35,44 @@ def timeit(f, n=20, warmup=3):
     return min(ts)
 
 
-def timeit_chained(make_call, xw, n=16, warmup=1):
-    """Trustworthy device timing on a tunneled runtime: run ``n`` data-
-    dependent invocations inside ONE jit (each call's x-window is perturbed
-    by the previous call's output, so nothing can be cached, deduped or
-    hoisted), then divide.  Per-call host dispatch and block_until_ready
-    through the tunnel are unreliable (they can report > HBM bandwidth)."""
+def timeit_chained(make_call, xw, n=64, n_base=2, reps=5):
+    """Trustworthy device timing on a tunneled runtime.
 
-    @jax.jit
-    def loop(xw):
-        def body(i, carry):
-            xw_i, acc = carry
-            out = make_call(xw_i)
-            bump = out[0, 0] * 1e-30
-            return (xw_i + bump, acc + out[0, 0])
-        return jax.lax.fori_loop(0, n, body, (xw, jnp.float32(0)))[1]
+    Two lies must be defeated here (measured, see bench notes):
+      1. ``jax.block_until_ready`` does NOT wait for device compute through
+         the tunnel — only a device->host readback does, and that readback
+         costs a fixed ~24 ms round trip.
+      2. Results of identical dispatches can be served from cache, and XLA
+         hoists loop-invariant work, so each in-loop invocation must be
+         data-dependent on the previous one.
 
-    jax.block_until_ready(loop(xw))   # compile
-    reps = []
-    for _ in range(max(warmup, 3)):
+    So: run the call chained inside one jit, force a scalar readback, and
+    report the DIFFERENTIAL (n minus n_base iterations) per call."""
+
+    def build(k):
+        @jax.jit
+        def loop(xw):
+            def body(i, carry):
+                xw_i, acc = carry
+                out = make_call(xw_i)
+                bump = out[0, 0] * 1e-30
+                return (xw_i + bump, acc + out[0, 0])
+            return jax.lax.fori_loop(0, k, body, (xw, jnp.float32(0)))[1]
+        return loop
+
+    loop_n, loop_b = build(n), build(n_base)
+    float(loop_n(xw)), float(loop_b(xw))          # compile + warm
+    best = float("inf")
+    for r in range(reps):
+        xr = xw + jnp.float32(1e-6 * (r + 1))     # defeat result caching
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(xw))
-        reps.append(time.perf_counter() - t0)
-    return min(reps) / n
+        float(loop_b(xr))
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_n(xr))
+        tn = time.perf_counter() - t0
+        best = min(best, (tn - tb) / (n - n_base))
+    return max(best, 1e-9)
 
 
 def _mk(kernel, n_tiles, tiles_per_step, extra_in_specs, out_dtype=jnp.float32):

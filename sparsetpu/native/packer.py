@@ -1,0 +1,75 @@
+"""ctypes bindings for the native GStream pack engine (packer.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .loader import _lib
+
+
+def _bind(lib):
+    if getattr(lib, "_pack_bound", False):
+        return lib
+    lib.stpu_pack_block.restype = ctypes.c_longlong
+    lib.stpu_pack_block.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong, ctypes.c_int32, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.stpu_pack_copy.restype = None
+    lib.stpu_pack_copy.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.stpu_pack_free.restype = None
+    lib.stpu_pack_free.argtypes = [ctypes.c_void_p]
+    lib._pack_bound = True
+    return lib
+
+
+def pack_block_native(prow, pcol, pval, preal, trap_row: int,
+                      max_open: int = 8):
+    """Pack one column block's padded chunk stream; returns
+    (values, cells, route, chunk_row) with the gather_stream layout."""
+    lib = _bind(_lib())
+    prow = np.ascontiguousarray(prow, dtype=np.int32)
+    pcol = np.ascontiguousarray(pcol, dtype=np.int32)
+    pval = np.ascontiguousarray(pval, dtype=np.float32)
+    preal = np.ascontiguousarray(preal, dtype=np.uint8)
+    handle = ctypes.c_void_p()
+    n_tiles = lib.stpu_pack_block(
+        prow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pcol.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pval.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        preal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(prow.shape[0]), ctypes.c_int32(trap_row),
+        ctypes.c_int(max_open), ctypes.byref(handle))
+    if n_tiles < 0:
+        raise RuntimeError("stpu_pack_block failed")
+    n_tiles = int(n_tiles)
+    values = np.empty((n_tiles * 8, 128), dtype=np.float32)
+    cells = np.empty((n_tiles * 8, 128), dtype=np.int16)
+    route = np.empty((n_tiles * 8, 128), dtype=np.int16)
+    chunk_row = np.empty((n_tiles, 128), dtype=np.int32)
+    try:
+        lib.stpu_pack_copy(
+            handle,
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            route.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            chunk_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.stpu_pack_free(handle)
+    return values, cells, route, chunk_row
+
+
+def available() -> bool:
+    try:
+        _bind(_lib())
+        return True
+    except Exception:
+        return False

@@ -292,9 +292,19 @@ def _pack_block(prow, pcol, pval, preal, nr_rows, value_dtype):
     return vals, cells, route, rowmap
 
 
+def _native_pack_block():
+    """The C++ pack engine (sparsetpu/native/packer.cpp), if built."""
+    try:
+        from ..native.packer import available, pack_block_native
+        return pack_block_native if available() else None
+    except Exception:
+        return None
+
+
 def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  tiles_per_step: int = DEFAULT_TILES_PER_STEP,
-                 value_dtype=np.float32) -> GStreamMatrix:
+                 value_dtype=np.float32, use_native: bool = True
+                 ) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
     csr_hw.cpp:377-1398, collapsed to one parameterized routine)."""
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
@@ -307,6 +317,8 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                          matrix.row_nnz())
     cols_all = matrix.col_ind.astype(np.int64)
     vals_all = matrix.values
+    native = _native_pack_block() if (
+        use_native and np.dtype(value_dtype) == np.float32) else None
 
     all_v, all_c, all_r, all_m, step_win = [], [], [], [], []
 
@@ -326,8 +338,16 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
             continue
         local = (bcols - b * W).astype(np.int32)
         prow, pcol, pval, preal = _pad_rows_to_chunks(brows, local, bvals)
-        v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
-                                  value_dtype)
+        if native is not None:
+            v, c, r, mm = native(prow, pcol,
+                                 pval.astype(np.float32, copy=False),
+                                 preal, nr_rows)
+            v = v.reshape(-1, CHUNK, LANES)
+            c = c.reshape(-1, CHUNK, LANES)
+            r = r.reshape(-1, CHUNK, LANES)
+        else:
+            v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
+                                      value_dtype)
         nt = mm.shape[0]
         all_v.append(v.reshape(nt * CHUNK, LANES))
         all_c.append(c.reshape(nt * CHUNK, LANES))
