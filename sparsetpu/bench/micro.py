@@ -35,7 +35,7 @@ def timeit(f, n=20, warmup=3):
     return min(ts)
 
 
-def timeit_chained(make_call, xw, n=64, n_base=2, reps=5):
+def timeit_chained(make_call, xw, n=1024, n_base=16, reps=5):
     """Trustworthy device timing on a tunneled runtime.
 
     Two lies must be defeated here (measured, see bench notes):
@@ -47,7 +47,10 @@ def timeit_chained(make_call, xw, n=64, n_base=2, reps=5):
          data-dependent on the previous one.
 
     So: run the call chained inside one jit, force a scalar readback, and
-    report the DIFFERENTIAL (n minus n_base iterations) per call."""
+    report the DIFFERENTIAL (n minus n_base iterations) per call.  The
+    round trip jitters by a few ms, so n must be large enough that
+    n * per_call clears the jitter, and the median (not min) of the
+    differential is reported."""
 
     def build(k):
         @jax.jit
@@ -62,7 +65,7 @@ def timeit_chained(make_call, xw, n=64, n_base=2, reps=5):
 
     loop_n, loop_b = build(n), build(n_base)
     float(loop_n(xw)), float(loop_b(xw))          # compile + warm
-    best = float("inf")
+    diffs = []
     for r in range(reps):
         xr = xw + jnp.float32(1e-6 * (r + 1))     # defeat result caching
         t0 = time.perf_counter()
@@ -71,8 +74,9 @@ def timeit_chained(make_call, xw, n=64, n_base=2, reps=5):
         t0 = time.perf_counter()
         float(loop_n(xr))
         tn = time.perf_counter() - t0
-        best = min(best, (tn - tb) / (n - n_base))
-    return max(best, 1e-9)
+        diffs.append((tn - tb) / (n - n_base))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-9)
 
 
 def _mk(kernel, n_tiles, tiles_per_step, extra_in_specs, out_dtype=jnp.float32):
@@ -90,7 +94,7 @@ def _mk(kernel, n_tiles, tiles_per_step, extra_in_specs, out_dtype=jnp.float32):
 
 
 def bench_ladder(n_tiles=8192, tiles_per_step=16, G_list=(1, 2, 4, 8, 16, 32),
-                 verbose=True, chain_n=16):
+                 verbose=True, chain_n=1024):
     """Returns {stage: (ms, GB/s effective)} for n_tiles (8,128) f32 tiles.
     All stages take the x-window as the chained (perturbed) input so the
     in-jit loop timing cannot be shortcut."""
