@@ -1,16 +1,16 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
 Headline: SpMV throughput in Gnnz/s on a SuiteSparse-like random matrix
-(~10M nnz), single chip, f32, per-call device timing.  vs_baseline is the
-speedup over the reference hardware's theoretical ceiling: the ZCU102's
-HP-port bandwidth bound (~10 GB/s over 10 B/nnz for the f32 packed stream,
-util.h:61, README.md:61) => 1.0 Gnnz/s.  The reference publishes no
-measured numbers (BASELINE.md), so its bandwidth roofline is the fairest
-stand-in.
+(~10M nnz, 50 nnz/row), single chip, f32, measured with differential
+in-jit chained timing (host-side per-dispatch timing is unreliable through
+the device tunnel; see sparsetpu/bench/micro.py).  vs_baseline is the
+speedup over the reference hardware's bandwidth ceiling: the ZCU102's HP
+ports move ~10 GB/s and the packed stream costs ~10 B/nnz for f32
+(util.h:61, README.md:61-63) => ~1.0 Gnnz/s.  The reference publishes no
+measured numbers (BASELINE.md), so its roofline is the fairest stand-in.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -20,44 +20,52 @@ REFERENCE_CEILING_GNNZ_S = 1.0  # ZCU102 HP ports ~10 GB/s / ~10 B per nnz
 
 def main():
     import jax
+    import jax.numpy as jnp
     from sparsetpu.formats.random import random_csr
+    from sparsetpu.formats.gold import spmv_gold, verification
     from sparsetpu.api.api import SparseMatrix
 
     on_tpu = jax.default_backend() == "tpu"
     m = random_csr(200_000, 100_000, density=0.0005, seed=1,
                    dtype=np.float32)
     sm = SparseMatrix(m, backend="pallas", interpret=not on_tpu)
+    d = sm._device
     x = np.random.default_rng(0).standard_normal(m.nr_cols)
-    xp = sm.prepare_x(x)
+    x2 = d.prepare_x(x)
 
-    # chained in-jit timing (per-dispatch timing lies through the tunnel)
-    import jax.numpy as jnp
-
-    n_iter = 10
-
-    @jax.jit
-    def loop(xp):
-        def body(i, carry):
-            xp_i, acc = carry
-            y = sm.spmv_packed_x(xp_i)
-            return (xp_i + y[0] * 1e-30, acc + y[0])
-        return jax.lax.fori_loop(0, n_iter, body,
-                                 (xp, jnp.float32(0)))[1]
-
-    jax.block_until_ready(loop(xp))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(xp))
-        ts.append(time.perf_counter() - t0)
-    per_call = min(ts) / n_iter
-    gnnz = m.nr_nzeros / per_call / 1e9
-
-    # correctness gate: a fast wrong kernel scores zero
-    from sparsetpu.formats.gold import spmv_gold, verification
-    y = np.asarray(sm.spmv(x))
+    # correctness gate first: a fast wrong kernel scores zero
+    y = np.asarray(d.spmv(x2, x_is_packed=True))
     errors = verification(spmv_gold(m, x), y, diff_thres=1e-2,
                           rel_thres=1e-3)
+
+    n, n_base = (256, 8) if on_tpu else (4, 2)
+
+    def build(k):
+        @jax.jit
+        def loop(x2i):
+            def body(i, carry):
+                x2c, acc = carry
+                yy = d.spmv(x2c, x_is_packed=True)
+                return (x2c + yy[0] * 1e-30, acc + yy[0])
+            return jax.lax.fori_loop(0, k, body,
+                                     (x2i, jnp.float32(0)))[1]
+        return loop
+
+    loop_n, loop_b = build(n), build(n_base)
+    float(loop_n(x2)), float(loop_b(x2))
+    diffs = []
+    for r in range(5):
+        xr = x2 + jnp.float32(1e-6 * (r + 1))
+        t0 = time.perf_counter()
+        float(loop_b(xr))
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_n(xr))
+        tn = time.perf_counter() - t0
+        diffs.append((tn - tb) / (n - n_base))
+    diffs.sort()
+    per_call = max(diffs[len(diffs) // 2], 1e-9)
+    gnnz = m.nr_nzeros / per_call / 1e9
     if errors:
         gnnz = 0.0
 

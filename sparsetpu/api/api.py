@@ -83,12 +83,12 @@ class SparseMatrix:
                             self.nr_rows)
 
     def spmm(self, x) -> jax.Array:
-        """Y = A @ X for X of shape (nr_cols, k) (multi-RHS extension)."""
+        """Y = A @ X for X of shape (nr_cols, k) (multi-RHS extension) —
+        fused kernel: one metadata fetch serves all k right-hand sides."""
         x = jnp.asarray(x)
         if self._backend == "pallas":
-            # v1: column loop over the Pallas SpMV; fused SpMM kernel later
-            cols = [self._device.spmv(x[:, k]) for k in range(x.shape[1])]
-            return jnp.stack(cols, axis=1)
+            from ..kernels.spmm import spmm_gstream
+            return spmm_gstream(self._device, x)
         return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
 

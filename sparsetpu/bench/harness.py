@@ -106,41 +106,53 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         sm = SparseMatrix(matrix, cfg, backend=backend)
         xp = sm.prepare_x(x)
         jax.block_until_ready(sm.spmv_packed_x(xp))  # compile + upload
+    y = np.asarray(sm.spmv_packed_x(xp))
 
-    # steady-state timing, per-call blocked
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        y = sm.spmv_packed_x(xp)
-        jax.block_until_ready(y)
-        ts.append(time.perf_counter() - t0)
-    total_s = float(np.min(ts))
-    y = np.asarray(y)
+    # differential in-jit chained timing (see bench/micro.timeit_chained:
+    # per-dispatch host timing is unreliable through the device tunnel)
+    import jax.numpy as jnp
+    on_tpu = jax.default_backend() == "tpu"
+    n_hi, n_lo = (max(repeats, 64), 4) if on_tpu else (4, 2)
 
-    # split kernel vs finish when the backend exposes it
+    def measure(call, x_seed):
+        def build(k):
+            @jax.jit
+            def loop(xi):
+                def body(i, carry):
+                    xc, acc = carry
+                    out = call(xc)
+                    return (xc + out.reshape(-1)[0] * 1e-30,
+                            acc + out.reshape(-1)[0])
+                return jax.lax.fori_loop(0, k, body,
+                                         (xi, jnp.float32(0)))[1]
+            return loop
+        ln, lb = build(n_hi), build(n_lo)
+        float(ln(x_seed)), float(lb(x_seed))
+        diffs = []
+        for r in range(5):
+            xr = x_seed + jnp.float32(1e-6 * (r + 1))
+            t0 = time.perf_counter()
+            float(lb(xr))
+            tb = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(ln(xr))
+            tn = time.perf_counter() - t0
+            diffs.append((tn - tb) / (n_hi - n_lo))
+        diffs.sort()
+        return max(diffs[len(diffs) // 2], 1e-9)
+
+    total_s = measure(lambda xi: sm.spmv_packed_x(xi), xp)
+
     kernel_s = finish_s = float("nan")
     if backend == "pallas" and sm._device is not None:
         from ..kernels.spmv_pallas import _gstream_chunk_sums
-        from ..kernels.spmv_xla import spmv_chunked_xla
         d = sm._device
-        kf = lambda: _gstream_chunk_sums(
-            d.step_window, xp, d.values, d.cell_idx, d.route,
-            tiles_per_step=d.meta.tiles_per_step, G=d.meta.G,
-            n_steps=d.meta.n_steps, interpret=d.interpret)
-        cs = jax.block_until_ready(kf())
-        kts, fts = [], []
-        for _ in range(max(repeats // 2, 3)):
-            t0 = time.perf_counter()
-            jax.block_until_ready(kf())
-            kts.append(time.perf_counter() - t0)
-        ff = lambda: spmv_chunked_xla(cs.reshape(-1), d.chunk_row,
-                                      d.meta.nr_rows)
-        jax.block_until_ready(ff())
-        for _ in range(max(repeats // 2, 3)):
-            t0 = time.perf_counter()
-            jax.block_until_ready(ff())
-            fts.append(time.perf_counter() - t0)
-        kernel_s, finish_s = float(np.min(kts)), float(np.min(fts))
+        kernel_s = measure(
+            lambda xi: _gstream_chunk_sums(
+                d.step_window, xi, d.values, d.cell_idx, d.route,
+                tiles_per_step=d.meta.tiles_per_step, G=d.meta.G,
+                n_steps=d.meta.n_steps, interpret=d.interpret), xp)
+        finish_s = max(total_s - kernel_s, 0.0)
 
     atol, rtol = default_tolerance(sm.dtype,
                                    matrix.nr_nzeros / max(matrix.nr_rows, 1))

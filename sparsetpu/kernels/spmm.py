@@ -1,0 +1,105 @@
+"""Fused multi-RHS SpMM over the GStream format.
+
+Y = A @ X with X of shape (nr_cols, k).  Extension scoped by BASELINE.json
+("CSR SpMM (multi-RHS)"); the reference has no analogue.  The kernel reuses
+one metadata fetch (cells/route/values) for all k right-hand sides, so the
+per-nnz byte cost amortizes: SpMM at k=8 moves ~1.3 B/nnz/rhs where SpMV
+moves ~8.5 B/nnz.
+
+Layout: X is packed to (k, S, 128) stripe planes; the kernel's x-window
+block is (k, 8G, 128); outputs are (k, n_tiles, 128) chunk sums, finished
+per-plane by the same F-level reduction as SpMV.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pack.gather_stream import CHUNK, GStreamMatrix, LANES, STRIPE
+from .spmv_xla import spmv_chunked_xla
+
+
+def _spmm_kernel(step_window_ref, xw_ref, val_ref, cell_ref, route_ref,
+                 out_ref, *, tiles_per_step: int, G: int, k: int):
+    for t in range(tiles_per_step):
+        sl = slice(t * CHUNK, (t + 1) * CHUNK)
+        i1 = cell_ref[sl, :].astype(jnp.int32)
+        j = route_ref[sl, :].astype(jnp.int32)
+        v = val_ref[sl, :]
+        if G > 1:
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+        for kk in range(k):
+            if G == 1:
+                g1 = jnp.take_along_axis(xw_ref[kk], i1, axis=0)
+            else:
+                g1 = jnp.zeros((CHUNK, LANES), dtype=val_ref.dtype)
+                for g in range(G):
+                    part = jnp.take_along_axis(
+                        xw_ref[kk, g * CHUNK:(g + 1) * CHUNK, :], sub,
+                        axis=0)
+                    g1 = jnp.where(grp == g, part, g1)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            out_ref[kk, t, :] = jnp.sum(v * g2, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_per_step", "G", "n_steps", "k",
+                                    "interpret"))
+def _gstream_chunk_sums_multi(step_window, x3, values, cell_idx, route, *,
+                              tiles_per_step: int, G: int, n_steps: int,
+                              k: int, interpret: bool = False):
+    n_tiles = n_steps * tiles_per_step
+    rows_per_step = tiles_per_step * CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((k, CHUNK * G, LANES),
+                         lambda i, sw: (0, sw[i], 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((k, tiles_per_step, LANES),
+                               lambda i, sw: (0, i, 0)),
+    )
+    kernel = functools.partial(_spmm_kernel, tiles_per_step=tiles_per_step,
+                               G=G, k=k)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, n_tiles, LANES), x3.dtype),
+        interpret=interpret,
+    )(step_window, x3, values, cell_idx, route)
+
+
+def spmm_gstream(device, x_multi) -> jax.Array:
+    """Y = A @ X for a GStreamDevice and X (nr_cols, k).  Returns
+    (nr_rows, k)."""
+    meta = device.meta
+    x_multi = jnp.asarray(x_multi, dtype=device.dtype)
+    k = int(x_multi.shape[1])
+    pad = meta.padded_cols - meta.nr_cols
+    if pad:
+        x_multi = jnp.pad(x_multi, ((0, pad), (0, 0)))
+    # (k, S, 128) stripe planes
+    x3 = x_multi.T.reshape(k, -1, STRIPE)
+    cs = _gstream_chunk_sums_multi(
+        device.step_window, x3, device.values, device.cell_idx,
+        device.route, tiles_per_step=meta.tiles_per_step, G=meta.G,
+        n_steps=meta.n_steps, k=k, interpret=device.interpret)
+    # finish each plane through the shared F levels
+    outs = []
+    for kk in range(k):
+        c = cs[kk]
+        for f in device.finish:
+            c = f.apply(c)
+        outs.append(spmv_chunked_xla(c.reshape(-1), device.chunk_row,
+                                     meta.nr_rows))
+    return jnp.stack(outs, axis=1)

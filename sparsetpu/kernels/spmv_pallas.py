@@ -105,16 +105,62 @@ def _gstream_chunk_sums(step_window, x2, values, cell_idx, route,
 class GStreamDevice:
     """Device-resident packed matrix (the hw_matrix handed to spmv_hw,
     csr_hw_wrapper.cpp:193-288).  Holds the packed arrays as jax.Arrays so
-    repeated spmv calls pay no host->device transfer."""
+    repeated spmv calls pay no host->device transfer.
 
-    def __init__(self, packed: GStreamMatrix, interpret: bool = False):
+    The row-reduction finish ("accum_results", csr_hw.cpp:1531-1565) is
+    expressed as a second, much smaller SpMV: y = F @ chunk_sums where F is
+    the 0/1 chunk->row incidence matrix (contiguous runs).  F is packed in
+    the same GStream format and run through the same kernel, shrinking the
+    XLA scatter by ~8x per level.  Levels are added while they pay off;
+    the remainder is one small segment-sum."""
+
+    # add an F level while chunks-per-row of the remainder exceeds this
+    FINISH_LEVEL_MIN_RATIO = 3.0
+    FINISH_MAX_LEVELS = 2
+
+    def __init__(self, packed: GStreamMatrix, interpret: bool = False,
+                 finish_levels: Optional[int] = None):
         self.meta = packed
         self.interpret = interpret
         self.values = jnp.asarray(packed.values)
         self.cell_idx = jnp.asarray(packed.cell_idx)
         self.route = jnp.asarray(packed.route)
-        self.chunk_row = jnp.asarray(packed.chunk_row.reshape(-1))
         self.step_window = jnp.asarray(packed.step_window)
+        self._build_finish(packed, finish_levels)
+
+    def _build_finish(self, packed: GStreamMatrix,
+                      finish_levels: Optional[int]):
+        from ..formats.csr import CSRMatrix
+        from ..pack.gather_stream import pack_gstream
+
+        max_levels = (self.FINISH_MAX_LEVELS if finish_levels is None
+                      else finish_levels)
+        self.finish = []           # list of GStreamDevice-lite F levels
+        chunk_row = packed.chunk_row.reshape(-1)
+        trap = packed.nr_rows
+        n_chunks = chunk_row.shape[0]
+        level = 0
+        while level < max_levels:
+            valid = chunk_row != trap
+            n_valid = int(valid.sum())
+            rows_touched = np.unique(chunk_row[valid]).shape[0]
+            if (n_valid < 4096 or rows_touched == 0
+                    or n_valid / rows_touched < self.FINISH_LEVEL_MIN_RATIO):
+                break
+            cols = np.flatnonzero(valid).astype(np.int32)
+            # chunk_row is only block-locally sorted; from_coo regroups
+            f = CSRMatrix.from_coo(chunk_row[valid], cols,
+                                   np.ones(n_valid, np.float32),
+                                   trap, n_chunks, sum_duplicates=False)
+            fp = pack_gstream(f)
+            fdev = _FLevel(fp, self.interpret)
+            self.finish.append(fdev)
+            chunk_row = fp.chunk_row.reshape(-1)
+            trap = fp.nr_rows
+            n_chunks = chunk_row.shape[0]
+            level += 1
+        self.chunk_row = jnp.asarray(chunk_row)
+        self._final_trap = trap
 
     @property
     def dtype(self):
@@ -136,8 +182,33 @@ class GStreamDevice:
             self.step_window, x2, self.values, self.cell_idx, self.route,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, interpret=self.interpret)
+        for f in self.finish:
+            chunk_sums = f.apply(chunk_sums)
         return spmv_chunked_xla(chunk_sums.reshape(-1), self.chunk_row,
                                 self.meta.nr_rows)
+
+
+class _FLevel:
+    """One packed finish level: chunk_sums -> coarser partial sums."""
+
+    def __init__(self, fp: GStreamMatrix, interpret: bool):
+        self.meta = fp
+        self.interpret = interpret
+        self.values = jnp.asarray(fp.values)
+        self.cell_idx = jnp.asarray(fp.cell_idx)
+        self.route = jnp.asarray(fp.route)
+        self.step_window = jnp.asarray(fp.step_window)
+
+    def apply(self, chunk_sums: jax.Array) -> jax.Array:
+        flat = chunk_sums.reshape(-1)
+        pad = self.meta.padded_cols - flat.shape[0]
+        if pad > 0:
+            flat = jnp.pad(flat, (0, pad))
+        x2 = flat[:self.meta.padded_cols].reshape(-1, STRIPE)
+        return _gstream_chunk_sums(
+            self.step_window, x2, self.values, self.cell_idx, self.route,
+            tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
+            n_steps=self.meta.n_steps, interpret=self.interpret)
 
 
 def spmv_gstream(packed: GStreamMatrix, x, interpret: bool = False):

@@ -302,12 +302,23 @@ def _native_pack_block():
 
 
 def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
-                 tiles_per_step: int = DEFAULT_TILES_PER_STEP,
-                 value_dtype=np.float32, use_native: bool = True
-                 ) -> GStreamMatrix:
+                 tiles_per_step: Optional[int] = None,
+                 value_dtype=np.float32, use_native: bool = True,
+                 shuffle_lanes: bool = True) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
     csr_hw.cpp:377-1398, collapsed to one parameterized routine)."""
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
+    if tiles_per_step is None:
+        # bigger steps amortize the Pallas pipeline: T=128 (1.5 MB blocks)
+        # reaches ~90% of v5e HBM bandwidth vs ~40% at T=16 (bench/micro);
+        # small matrices take smaller steps to bound padding
+        est_tiles = max(1, int(matrix.nr_nzeros * 1.3) // TILE_NNZ)
+        if est_tiles >= 1024:
+            tiles_per_step = 128
+        elif est_tiles >= 128:
+            tiles_per_step = 32
+        else:
+            tiles_per_step = 8
     G = min(MAX_G, max(1, -(-nr_cols // (CHUNK * STRIPE))))
     W = G * CHUNK * STRIPE
     n_blocks = max(1, -(-nr_cols // W))
@@ -362,14 +373,40 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         _pad_tiles(tiles_per_step)
         step_win.append(0)
 
+    values = np.concatenate(all_v, axis=0)
+    cell_idx = np.concatenate(all_c, axis=0)
+    route = np.concatenate(all_r, axis=0)
+    chunk_row = np.concatenate(all_m, axis=0)
+    if shuffle_lanes:
+        _shuffle_chunk_lanes(values, route, chunk_row)
+
     return GStreamMatrix(
-        values=np.concatenate(all_v, axis=0),
-        cell_idx=np.concatenate(all_c, axis=0),
-        route=np.concatenate(all_r, axis=0),
-        chunk_row=np.concatenate(all_m, axis=0),
+        values=values, cell_idx=cell_idx, route=route, chunk_row=chunk_row,
         step_window=np.asarray(step_win, dtype=np.int32),
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=matrix.nr_nzeros,
         G=G, tiles_per_step=tiles_per_step, padded_cols=padded_cols)
+
+
+def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed):
+    """Randomly permute chunk lanes within every tile, in place.
+
+    A chunk's lane is free (the x-gather cells are indexed by element
+    residue, not by lane), but the chunk's *position* pos = tile*128 + lane
+    is the column index seen by the reduction (F) levels.  Row-major
+    packing gives a row's chunks consecutive positions -> consecutive
+    residues -> catastrophic cell conflicts when the F level packs them
+    (measured fill 0.23).  A per-tile random lane permutation makes F-level
+    residues uniform (fill back to ~0.85) at zero kernel cost."""
+    n_tiles = chunk_row.shape[0]
+    rng = np.random.default_rng(seed)
+    # one batched permutation matrix: argsort of random keys per tile
+    perm = np.argsort(rng.random((n_tiles, TILE_CHUNKS)), axis=1)
+    v3 = values.reshape(n_tiles, CHUNK, LANES)
+    r3 = route.reshape(n_tiles, CHUNK, LANES)
+    idx = perm[:, None, :]
+    v3[...] = np.take_along_axis(v3, idx, axis=2)
+    r3[...] = np.take_along_axis(r3, idx, axis=2)
+    chunk_row[...] = np.take_along_axis(chunk_row, perm, axis=1)
 
 
 def unpack_gstream(p: GStreamMatrix) -> CSRMatrix:

@@ -70,3 +70,15 @@ def test_reference_shaped_api():
                         rel_thres=1e-4) == 0
     delete_csr_hw_x_vector(hw_x)
     delete_csr_hw_matrix(hw)
+
+
+def test_finish_levels_active():
+    """The F-level finish (reduction-as-SpMV) engages and stays correct."""
+    from sparsetpu.formats import random_csr, spmv_gold, verification
+    m = random_csr(1500, 1500, density=0.03, seed=60)  # ~45 nnz/row
+    sm = SparseMatrix(m, backend="pallas", interpret=True)
+    assert len(sm._device.finish) >= 1, "expected an F finish level"
+    x = np.random.default_rng(3).standard_normal(m.nr_cols)
+    y = np.asarray(sm.spmv(x))
+    assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
+                        rel_thres=1e-3) == 0
