@@ -38,7 +38,12 @@ class SparseMatrix:
     """
 
     def __init__(self, matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
-                 backend: str = "auto", interpret: bool = False):
+                 backend: str = "auto", interpret: Optional[bool] = None):
+        if interpret is None:
+            # Pallas kernels need the interpreter off-TPU (the emulation
+            # backend of SURVEY.md section 4)
+            import jax
+            interpret = jax.default_backend() != "tpu"
         self.config = config or SpmvConfig(dtype=matrix.dtype)
         self.nr_rows = matrix.nr_rows
         self.nr_cols = matrix.nr_cols
@@ -130,7 +135,7 @@ class SparseMatrix:
 
 
 def pack(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
-         backend: str = "auto", interpret: bool = False) -> SparseMatrix:
+         backend: str = "auto", interpret: Optional[bool] = None) -> SparseMatrix:
     """create_csr_hw_matrix analogue (README.md:38)."""
     return SparseMatrix(matrix, config, backend=backend, interpret=interpret)
 

@@ -100,6 +100,9 @@ def spmm_gstream(device, x_multi) -> jax.Array:
         c = cs[kk]
         for f in device.finish:
             c = f.apply(c)
-        outs.append(spmv_chunked_xla(c.reshape(-1), device.chunk_row,
-                                     meta.nr_rows))
+        if device.final is not None:
+            outs.append(device.final.apply(c, meta.nr_rows))
+        else:
+            outs.append(spmv_chunked_xla(c.reshape(-1), device.chunk_row,
+                                         meta.nr_rows))
     return jnp.stack(outs, axis=1)

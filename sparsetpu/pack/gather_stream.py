@@ -79,6 +79,7 @@ class GStreamMatrix:
     G: int                   # window groups (window = G*1024 cols)
     tiles_per_step: int
     padded_cols: int         # nr_cols padded to window multiple
+    sections: np.ndarray = None  # (n_blocks, 2) tile ranges per col block
 
     @property
     def n_tiles(self) -> int:
@@ -332,6 +333,7 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         use_native and np.dtype(value_dtype) == np.float32) else None
 
     all_v, all_c, all_r, all_m, step_win = [], [], [], [], []
+    sections = []   # (tile_start, tile_end) per emitted column block
 
     def _pad_tiles(k):
         all_v.append(np.zeros((k * CHUNK, LANES), dtype=value_dtype))
@@ -367,11 +369,14 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         pad_t = (-nt) % tiles_per_step
         if pad_t:
             _pad_tiles(pad_t)
+        start = sections[-1][1] if sections else 0
+        sections.append((start, start + nt + pad_t))
         step_win.extend([b] * ((nt + pad_t) // tiles_per_step))
 
     if not step_win:  # fully empty matrix
         _pad_tiles(tiles_per_step)
         step_win.append(0)
+        sections.append((0, tiles_per_step))
 
     values = np.concatenate(all_v, axis=0)
     cell_idx = np.concatenate(all_c, axis=0)
@@ -384,7 +389,8 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         values=values, cell_idx=cell_idx, route=route, chunk_row=chunk_row,
         step_window=np.asarray(step_win, dtype=np.int32),
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=matrix.nr_nzeros,
-        G=G, tiles_per_step=tiles_per_step, padded_cols=padded_cols)
+        G=G, tiles_per_step=tiles_per_step, padded_cols=padded_cols,
+        sections=np.asarray(sections, dtype=np.int64).reshape(-1, 2))
 
 
 def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed):

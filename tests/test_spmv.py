@@ -61,8 +61,7 @@ def test_reference_shaped_api():
                                delete_csr_hw_matrix, delete_csr_hw_x_vector,
                                spmv_hw)
     m = random_csr(40, 50, density=0.1, seed=14)
-    hw = create_csr_hw_matrix(m)
-    hw._device.interpret = True  # tests run on CPU
+    hw = create_csr_hw_matrix(m)  # interpret auto-detected off-TPU
     x = np.random.default_rng(4).standard_normal(50)
     hw_x = create_csr_hw_x_vector(hw, x)
     y = np.asarray(spmv_hw(hw, hw_x))
