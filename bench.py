@@ -41,17 +41,21 @@ def main():
     n, n_base = (256, 8) if on_tpu else (4, 2)
 
     def build(k):
+        # d passes through jit as a pytree ARGUMENT: closing over it would
+        # bake ~100 MB of packed arrays into the HLO as constants.
         @jax.jit
-        def loop(x2i):
+        def loop(dev, x2i):
             def body(i, carry):
                 x2c, acc = carry
-                yy = d.spmv(x2c, x_is_packed=True)
+                yy = dev.spmv(x2c, x_is_packed=True)
                 return (x2c + yy[0] * 1e-30, acc + yy[0])
             return jax.lax.fori_loop(0, k, body,
                                      (x2i, jnp.float32(0)))[1]
         return loop
 
-    loop_n, loop_b = build(n), build(n_base)
+    loops = build(n), build(n_base)
+    loop_n = lambda xi: loops[0](d, xi)
+    loop_b = lambda xi: loops[1](d, xi)
     float(loop_n(x2)), float(loop_b(x2))
     diffs = []
     for r in range(5):

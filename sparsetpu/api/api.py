@@ -134,6 +134,31 @@ class SparseMatrix:
         return 1.0
 
 
+def _sm_flatten(sm):
+    if sm._backend == "pallas":
+        children = (sm._device, None, None, None)
+    else:
+        children = (None, sm._row_ind, sm._col_ind, sm._values)
+    aux = (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
+           sm._backend, sm._packed)
+    return children, aux
+
+
+def _sm_unflatten(aux, children):
+    sm = object.__new__(SparseMatrix)
+    (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
+     sm._backend, sm._packed) = aux
+    sm._device, row_ind, col_ind, values = children
+    if sm._backend != "pallas":
+        sm._row_ind, sm._col_ind, sm._values = row_ind, col_ind, values
+    return sm
+
+
+# SparseMatrix flows through jit/scan as an argument (never a closure
+# constant — see sparsetpu/kernels/spmv_pallas.py pytree note).
+jax.tree_util.register_pytree_node(SparseMatrix, _sm_flatten, _sm_unflatten)
+
+
 def pack(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
          backend: str = "auto", interpret: Optional[bool] = None) -> SparseMatrix:
     """create_csr_hw_matrix analogue (README.md:38)."""

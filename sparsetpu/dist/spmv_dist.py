@@ -107,7 +107,10 @@ def _scatter_rows(y_parts, row_starts, nr_rows):
 def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, x,
                       *, mesh, axis, rows_per_part, G, tiles_per_step,
                       n_steps, interpret):
-    from jax.experimental.shard_map import shard_map
+    # check_vma=False: pallas_call inside shard_map does not annotate its
+    # out_shape with mesh-variance info, and every operand here is
+    # explicitly sharded anyway
+    shard_map = functools.partial(jax.shard_map, check_vma=False)
 
     def local(values, cell_idx, route, chunk_row, step_window, x_shard):
         # x is column-sharded across the mesh: gather the full vector over

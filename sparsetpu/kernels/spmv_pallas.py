@@ -417,3 +417,67 @@ class _FLevel:
 def spmv_gstream(packed: GStreamMatrix, x, interpret: bool = False):
     """One-shot convenience wrapper (pack fresh device arrays each call)."""
     return GStreamDevice(packed, interpret=interpret).spmv(x)
+
+
+# ---------------------------------------------------------------------------
+# pytree registration
+#
+# The packed device arrays must flow through jit as *arguments*, never as
+# closure constants: a closed-over jax.Array is baked into the HLO as a
+# literal, which for a 10M-nnz matrix inflates the compile payload by
+# ~100 MB (and breaks remote-compile size limits).  Registering the device
+# classes as pytrees lets users write ``jax.jit(lambda A, x: A.spmv(x))``
+# and solvers pass the matrix through scan/fori_loop carries.
+# ---------------------------------------------------------------------------
+
+def _flevel_flatten(f):
+    return ((f.values, f.cell_idx, f.route, f.step_window),
+            (f.meta, f.interpret))
+
+
+def _flevel_unflatten(aux, children):
+    f = object.__new__(_FLevel)
+    f.meta, f.interpret = aux
+    f.values, f.cell_idx, f.route, f.step_window = children
+    return f
+
+
+def _final_flatten(f):
+    return ((f.step_windows, f.values, f.cell_idx, f.route,
+             f.spill_pos, f.spill_row),
+            (f.n_steps, f.tiles_per_step, f.G, f.nw, f.x_pad_rows,
+             f.interpret, f.n_spills))
+
+
+def _final_unflatten(aux, children):
+    f = object.__new__(_FinalLevel)
+    (f.n_steps, f.tiles_per_step, f.G, f.nw, f.x_pad_rows,
+     f.interpret, f.n_spills) = aux
+    (f.step_windows, f.values, f.cell_idx, f.route,
+     f.spill_pos, f.spill_row) = children
+    return f
+
+
+def _device_flatten(d):
+    return ((d.values, d.cell_idx, d.route, d.step_window,
+             tuple(d.finish), d.final, getattr(d, "chunk_row", None)),
+            (d.meta, d.interpret))
+
+
+def _device_unflatten(aux, children):
+    d = object.__new__(GStreamDevice)
+    d.meta, d.interpret = aux
+    (d.values, d.cell_idx, d.route, d.step_window,
+     finish, d.final, chunk_row) = children
+    d.finish = list(finish)
+    if chunk_row is not None:
+        d.chunk_row = chunk_row
+    return d
+
+
+jax.tree_util.register_pytree_node(_FLevel, _flevel_flatten,
+                                   _flevel_unflatten)
+jax.tree_util.register_pytree_node(_FinalLevel, _final_flatten,
+                                   _final_unflatten)
+jax.tree_util.register_pytree_node(GStreamDevice, _device_flatten,
+                                   _device_unflatten)

@@ -64,7 +64,7 @@ DEFAULT_TILES_PER_STEP = 16         # tiles per Pallas grid step
 MAX_G = 32                          # window groups cap => W <= 32768 cols
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: usable as static jit aux
 class GStreamMatrix:
     """Packed matrix + metadata (csr_hw_matrix analogue, csr_hw.h:16-26)."""
 
