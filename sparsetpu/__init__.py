@@ -23,10 +23,12 @@ from . import formats, pack, kernels, api, utils
 from .api import SparseMatrix, pack as pack_matrix, spmv, unpack
 from .formats import (CSRMatrix, COOMatrix, BSRMatrix, read_matrix,
                       spmv_gold, verification)
+from .kernels import SpGEMMPlan, spgemm
 from .utils import SpmvConfig
 
 __all__ = [
     "SparseMatrix", "pack_matrix", "spmv", "unpack", "CSRMatrix",
     "COOMatrix", "BSRMatrix", "read_matrix", "spmv_gold", "verification",
+    "SpGEMMPlan", "spgemm",
     "SpmvConfig", "formats", "pack", "kernels", "api", "utils",
 ]

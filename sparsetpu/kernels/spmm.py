@@ -94,15 +94,6 @@ def spmm_gstream(device, x_multi) -> jax.Array:
         device.step_window, x3, device.values, device.cell_idx,
         device.route, tiles_per_step=meta.tiles_per_step, G=meta.G,
         n_steps=meta.n_steps, k=k, interpret=device.interpret)
-    # finish each plane through the shared F levels
-    outs = []
-    for kk in range(k):
-        c = cs[kk]
-        for f in device.finish:
-            c = f.apply(c)
-        if device.final is not None:
-            outs.append(device.final.apply(c, meta.nr_rows))
-        else:
-            outs.append(spmv_chunked_xla(c.reshape(-1), device.chunk_row,
-                                         meta.nr_rows))
-    return jnp.stack(outs, axis=1)
+    # finish each plane through the shared reduction
+    return jnp.stack([device.finish_vec(cs[kk]) for kk in range(k)],
+                     axis=1)

@@ -102,38 +102,55 @@ def _gstream_chunk_sums(step_window, x2, values, cell_idx, route,
     )(step_window, x2, values, cell_idx, route)
 
 
-def _spmv_kernel_mw(step_win_ref, *refs, tiles_per_step: int, G: int,
-                    nw: int):
-    """Multi-window variant: ``nw`` independently positioned x windows per
-    step (used by the final reduction level, whose children live in the
-    previous level's per-section row-sorted ranges).  Cell values encode
-    (window, local stripe) as win * 8G + stripe."""
+def _final_kernel(sw_ref, *refs, tiles_per_step: int, G: int, nw: int):
+    """Gather-accumulate final level (no values stream).
+
+    Each grid step covers one fixed 128*tps-row output range with up to
+    ``nw`` dynamically positioned x windows; several *instances* of the
+    same output range appear consecutively in the grid, accumulating into
+    the VMEM-resident out block (first instance initializes it).  Cell
+    values encode (window, local stripe) as win * 8G + stripe; cells set
+    to the out-of-range drain value contribute zero via the select chain.
+    """
     xw_refs = refs[:nw]
-    val_ref, cell_ref, route_ref, out_ref = refs[nw:]
+    cell_ref, route_ref, out_ref = refs[nw:]
+    i = pl.program_id(0)
+    first = sw_ref[i, nw] == 1
+    parts = []
     for t in range(tiles_per_step):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
         i1 = cell_ref[sl, :].astype(jnp.int32)
         j = route_ref[sl, :].astype(jnp.int32)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)          # (window * G + group)
-        g1 = jnp.zeros((CHUNK, LANES), dtype=val_ref.dtype)
+        grp = jnp.right_shift(i1, 3)          # window * G + group (or drain)
+        g1 = jnp.zeros((CHUNK, LANES), dtype=out_ref.dtype)
         for w in range(nw):
             for g in range(G):
                 part = jnp.take_along_axis(
                     xw_refs[w][g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
                 g1 = jnp.where(grp == w * G + g, part, g1)
         g2 = jnp.take_along_axis(g1, j, axis=1)
-        out_ref[t, :] = jnp.sum(val_ref[sl, :] * g2, axis=0)
+        parts.append(jnp.sum(g2, axis=0))
+    acc = jnp.stack(parts, axis=0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] = out_ref[...] + acc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps", "nw",
-                                    "interpret"))
-def _gstream_chunk_sums_mw(step_windows, x2, values, cell_idx, route, *,
-                           tiles_per_step: int, G: int, n_steps: int,
-                           nw: int, interpret: bool = False):
-    """step_windows: (n_steps, nw) int32 block-row indices (units of 8G)."""
-    n_tiles = n_steps * tiles_per_step
+                                    "n_out_tiles", "interpret"))
+def _final_gather_sums(step_meta, x2, cell_idx, route, *,
+                       tiles_per_step: int, G: int, n_steps: int, nw: int,
+                       n_out_tiles: int, interpret: bool = False):
+    """step_meta: (n_steps, nw + 2) int32 — per step: nw window block-row
+    indices (units of 8G), a first-instance flag, and the output block
+    index (units of tiles_per_step out tiles)."""
     rows_per_step = tiles_per_step * CHUNK
 
     def win_spec(b):
@@ -146,18 +163,17 @@ def _gstream_chunk_sums_mw(step_windows, x2, values, cell_idx, route, *,
         in_specs=[win_spec(b) for b in range(nw)] + [
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
-            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
         ],
         out_specs=pl.BlockSpec((tiles_per_step, LANES),
-                               lambda i, sw: (i, 0)),
+                               lambda i, sw: (sw[i, nw + 1], 0)),
     )
-    kernel = functools.partial(_spmv_kernel_mw,
+    kernel = functools.partial(_final_kernel,
                                tiles_per_step=tiles_per_step, G=G, nw=nw)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out_tiles, LANES), x2.dtype),
         interpret=interpret,
-    )(step_windows, *([x2] * nw), values, cell_idx, route)
+    )(step_meta, *([x2] * nw), cell_idx, route)
 
 
 class GStreamDevice:
@@ -175,7 +191,7 @@ class GStreamDevice:
     spill leftovers (rare residue-cell conflicts in the final level) take
     the slow XLA scatter path."""
 
-    FINAL_FANIN = 8      # final level gathers at most 8 partials per row
+    HEAVY_CAP = 32       # rows with more partials get an F pre-reduction
 
     def __init__(self, packed: GStreamMatrix, interpret: bool = False,
                  finish_levels: Optional[int] = None):
@@ -189,41 +205,44 @@ class GStreamDevice:
 
     def _build_finish(self, packed: GStreamMatrix,
                       finish_levels: Optional[int]):
+        """Build the chunk->row reduction: heavy rows (> HEAVY_CAP
+        partials) get incidence F levels whose outputs extend the position
+        space; all remaining partials are consumed by one multi-pass
+        fixed-position final level (output grid cell (r//128, r%128) IS
+        y[r]).  Leftover spills take a small XLA scatter; if the final
+        cannot be built at all, the whole reduction falls back to XLA
+        segment-sum over the combined vector."""
         from ..formats.csr import CSRMatrix
         from ..pack.gather_stream import pack_gstream
 
-        self.finish = []           # generic F reduction levels
-        self.final = None          # fixed-position level writing y
-        chunk_row = packed.chunk_row.reshape(-1)
+        self.finish = []           # F levels (heavy-row pre-reduction)
+        self.final = None
         trap = packed.nr_rows
-        n_chunks = chunk_row.shape[0]
-        sections = packed.sections
-        guard = 0
-        while True:
-            guard += 1
+        chunk_row = packed.chunk_row.reshape(-1).astype(np.int64).copy()
+        for _ in range(3):
             valid = chunk_row != trap
-            counts = np.bincount(chunk_row[valid], minlength=trap)
-            max_per_row = int(counts.max()) if counts.size else 0
-            localized = len(self.finish) > 0
-            few_sections = (sections is not None
-                            and sections.shape[0] <= _FinalLevel.MAX_NW)
-            if (localized and few_sections
-                    and max_per_row <= self.FINAL_FANIN) or guard > 8:
+            if not valid.any():
                 break
-            cols = np.flatnonzero(valid).astype(np.int32)
-            f = CSRMatrix.from_coo(chunk_row[valid], cols,
-                                   np.ones(int(valid.sum()), np.float32),
-                                   trap, n_chunks, sum_duplicates=False)
-            fp = pack_gstream(f, shuffle_lanes=False)
+            counts = np.bincount(chunk_row[valid], minlength=trap)
+            if counts.size == 0 or counts.max() <= self.HEAVY_CAP:
+                break
+            heavy = counts > self.HEAVY_CAP
+            hmask = np.zeros(chunk_row.shape[0], dtype=bool)
+            hmask[valid] = heavy[chunk_row[valid]]
+            hpos = np.flatnonzero(hmask)
+            f_csr = CSRMatrix.from_coo(
+                chunk_row[hpos].astype(np.int64), hpos.astype(np.int64),
+                np.ones(hpos.shape[0], np.float32),
+                trap, chunk_row.shape[0], sum_duplicates=False)
+            fp = pack_gstream(f_csr, shuffle_lanes=False)
             self.finish.append(_FLevel(fp, self.interpret))
-            chunk_row = fp.chunk_row.reshape(-1)
-            n_chunks = chunk_row.shape[0]
-            sections = fp.sections
-        self.final = _FinalLevel.build(chunk_row, trap, n_chunks,
-                                       sections, self.interpret)
+            chunk_row[hpos] = trap   # consumed by the F level
+            chunk_row = np.concatenate(
+                [chunk_row, fp.chunk_row.reshape(-1).astype(np.int64)])
+        self.final = _FinalLevel.build(chunk_row, trap, self.interpret)
         if self.final is None:
-            # pathological locality: keep the XLA segment-sum fallback
-            self.chunk_row = jnp.asarray(chunk_row)
+            # pathological placement: XLA segment-sum fallback
+            self.chunk_row = jnp.asarray(chunk_row.astype(np.int32))
 
     @property
     def dtype(self):
@@ -245,38 +264,117 @@ class GStreamDevice:
             self.step_window, x2, self.values, self.cell_idx, self.route,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, interpret=self.interpret)
+        return self.finish_vec(chunk_sums)
+
+    def finish_vec(self, chunk_sums: jax.Array) -> jax.Array:
+        """chunk partial sums -> y (the on-device accum_results,
+        csr_hw.cpp:1531-1565).  F levels append their outputs to the
+        position vector; the final level (or the XLA fallback) consumes
+        the combined vector."""
+        vec = chunk_sums.reshape(-1)
         for f in self.finish:
-            chunk_sums = f.apply(chunk_sums)
+            vec = jnp.concatenate([vec, f.apply(vec).reshape(-1)])
         if self.final is not None:
-            return self.final.apply(chunk_sums, self.meta.nr_rows)
-        return spmv_chunked_xla(chunk_sums.reshape(-1), self.chunk_row,
-                                self.meta.nr_rows)
+            return self.final.apply(vec, self.meta.nr_rows)
+        return spmv_chunked_xla(vec, self.chunk_row, self.meta.nr_rows)
+
+
+def _rank_in_group(keys):
+    """Per-element rank within its key group; keys need not be sorted.
+    Returns (rank, order) where order sorts by key (stable)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    if ks.shape[0] == 0:
+        return np.zeros(0, np.int64), order
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
+    counts = np.diff(np.concatenate([starts, [ks.shape[0]]]))
+    rank_sorted = np.arange(ks.shape[0]) - np.repeat(starts, counts)
+    rank = np.empty_like(rank_sorted)
+    rank[order] = rank_sorted
+    return rank, order
+
+
+def _assign_passes(rows, pos, step_of, win, nw_max, p_cap, n_steps):
+    """Greedy pass/window assignment for the final level.
+
+    Each pass gives every row 8 gather slots (one chunk at its fixed
+    (r//128, r%128) cell) and every output step up to ``nw_max``
+    dynamically chosen aligned x-windows of ``win`` positions.  Children
+    are placed in the earliest pass whose fan-in and window budget admit
+    them.  Returns (pass_of [-1 = unassigned], slot_of, W[p, step, nw])."""
+    n = rows.shape[0]
+    win_of = pos // win
+    wmod = int(win_of.max()) + 2 if n else 2
+    pass_of = np.full(n, -1, dtype=np.int16)
+    slot_of = np.full(n, -1, dtype=np.int8)
+    Ws = []
+    remaining = np.ones(n, dtype=bool)
+    for p in range(p_cap):
+        idx = np.flatnonzero(remaining)
+        if idx.size == 0:
+            break
+        rank, _ = _rank_in_group(rows[idx])
+        cand = idx[rank < CHUNK]
+        if cand.size == 0:
+            break
+        # top nw_max windows per step by child count
+        key = step_of[cand].astype(np.int64) * wmod + win_of[cand]
+        uk, inv, cnt = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        st = uk // wmod
+        order = np.lexsort((-cnt, st))
+        wrank, _ = _rank_in_group(st[order])
+        slot_of_uk = np.full(uk.size, -1, dtype=np.int8)
+        slot_of_uk[order] = np.where(wrank < nw_max, wrank,
+                                     -1).astype(np.int8)
+        ch_slot = slot_of_uk[inv]
+        take = ch_slot >= 0
+        tk = cand[take]
+        pass_of[tk] = p
+        slot_of[tk] = ch_slot[take]
+        remaining[tk] = False
+        W = np.zeros((n_steps, nw_max), dtype=np.int64)
+        sel = order[wrank < nw_max]
+        W[st[sel], slot_of_uk[sel]] = uk[sel] % wmod
+        Ws.append(W)
+        if not remaining.any():
+            break
+    if not Ws:
+        Ws = [np.zeros((n_steps, nw_max), dtype=np.int64)]
+    return pass_of, slot_of, np.stack(Ws)
 
 
 class _FinalLevel:
-    """Fixed-position reduction level: output grid cell (r//128, r%128)
-    holds y[r], so the whole SpMV finishes on device with no XLA scatter.
+    """Instance-based fixed-position reduction: output grid cell
+    (r//128, r%128) IS y[r] — the whole SpMV finishes on device with no
+    XLA scatter and no cross-pass sum.
 
-    Children are the <= FINAL_FANIN per-row partials of the last F level.
-    That level's output is row-sorted *within each of its column-block
-    sections*, so one scalar-indexed x window per section (multi-window
-    kernel, nw <= MAX_NW) covers every child of a step.  Rows whose
-    children miss their step's aligned windows, plus residue-cell
-    conflicts, spill to a small XLA scatter."""
+    Children (per-row partials at arbitrary positions of the combined
+    chunk-sum vector) are placed by a greedy: the output is divided into
+    blocks of ``tps`` out tiles; each block gets one or more grid-step
+    *instances*, each granting every row 8 gather slots and the step up
+    to MAX_NW dynamically chosen aligned x-windows.  Instances of the
+    same block are consecutive in the grid, so the out block stays
+    VMEM-resident and accumulates (first instance initializes it); blocks
+    whose children fit one instance pay exactly one step.  A residue
+    matching (same constraint as the forward pack) assigns sublane slots;
+    leftovers spill to a small XLA scatter."""
 
     MAX_NW = 8
+    G_CANDIDATES = (2, 4, 8, 16)
+    TPS_CANDIDATES = (64, 32, 16, 8)
 
-    def __init__(self, step_windows, values, cell_idx, route, n_steps,
-                 tiles_per_step, G, nw, x_pad_rows, spill_pos, spill_row,
+    def __init__(self, step_meta, cell_idx, route, n_steps, tiles_per_step,
+                 G, nw, nt_pad, x_pad_rows, spill_pos, spill_row,
                  interpret):
-        self.step_windows = jnp.asarray(step_windows)
-        self.values = jnp.asarray(values)
+        self.step_meta = jnp.asarray(step_meta)
         self.cell_idx = jnp.asarray(cell_idx)
         self.route = jnp.asarray(route)
         self.n_steps = n_steps
         self.tiles_per_step = tiles_per_step
         self.G = G
         self.nw = nw
+        self.nt_pad = nt_pad
         self.x_pad_rows = x_pad_rows
         self.spill_pos = jnp.asarray(spill_pos) if spill_pos.size else None
         self.spill_row = jnp.asarray(spill_row) if spill_row.size else None
@@ -284,110 +382,150 @@ class _FinalLevel:
         self.n_spills = int(spill_pos.size)
 
     @classmethod
-    def build(cls, chunk_row, nr_rows, n_positions, sections, interpret,
+    def build(cls, chunk_row, nr_rows, interpret,
               max_spill_frac: float = 0.2):
         from ..pack.gather_stream import _match_tiles
 
-        if sections is None or sections.shape[0] > cls.MAX_NW:
-            return None
-        nw = int(sections.shape[0])
-        sec_start_pos = sections[:, 0] * LANES
-
         valid = np.flatnonzero(chunk_row != nr_rows)
-        rows = chunk_row[valid].astype(np.int64)
-        pos = valid.astype(np.int64)
-        order = np.argsort(rows, kind="stable")
-        rows, pos = rows[order], pos[order]
-        if rows.shape[0]:
-            starts = np.concatenate([[0],
-                                     np.flatnonzero(np.diff(rows)) + 1])
-            counts = np.diff(np.concatenate([starts, [rows.shape[0]]]))
-            rank = np.arange(rows.shape[0]) - np.repeat(starts, counts)
-        else:
-            rank = np.zeros(0, np.int64)
-        sec = np.searchsorted(sec_start_pos, pos, side="right") - 1
-
+        rows_all = chunk_row[valid].astype(np.int64)
+        pos_all = valid.astype(np.int64)
+        n_children = rows_all.shape[0]
         n_tiles = max(1, -(-nr_rows // LANES))
+        nw = cls.MAX_NW
+
+        # choose (window size, tiles per step) by spills, then stream cost
         best = None
-        for G_u in (4, 8, 16, 32):
-            for tps in (64, 32, 16, 8):
+        for G_u in cls.G_CANDIDATES:
+            for tps in cls.TPS_CANDIDATES:
+                if tps > max(8, n_tiles):
+                    continue
                 nt_pad = -(-n_tiles // tps) * tps
-                n_steps = nt_pad // tps
-                win = G_u * 1024
-                step_of = (rows // LANES) // tps
-                w = np.zeros((n_steps, nw), dtype=np.int64)
-                in_win = np.zeros(rows.shape[0], dtype=bool)
-                key = step_of * nw + sec
-                order2 = np.argsort(key, kind="stable")
-                k_sorted = key[order2]
-                grp_starts = np.concatenate(
-                    [[0], np.flatnonzero(np.diff(k_sorted)) + 1])
-                for gs, ge in zip(grp_starts, np.concatenate(
-                        [grp_starts[1:], [k_sorted.shape[0]]])):
-                    idxs = order2[gs:ge]
-                    kk = int(key[idxs[0]])
-                    s_, b_ = kk // nw, kk % nw
-                    wv = int(pos[idxs].min()) // win
-                    w[s_, b_] = wv
-                    in_win[idxs] = (pos[idxs] // win) == wv
-                spills = int((~in_win).sum())
-                cand = (spills, G_u * nw, -tps, tps, G_u, nt_pad, n_steps,
-                        w, in_win)
-                if best is None or cand[:3] < best[:3]:
+                n_blocks = nt_pad // tps
+                o_of = (rows_all // LANES) // tps
+                p_of, _, _ = _assign_passes(rows_all, pos_all, o_of,
+                                            G_u * 1024, nw, 6, n_blocks)
+                spills = int((p_of < 0).sum())
+                extra = len(np.unique(
+                    p_of[p_of > 0].astype(np.int64) * n_blocks
+                    + o_of[p_of > 0]))
+                n_inst = n_blocks + extra
+                # per-instance bytes: tps metadata tiles + nw windows
+                cost = n_inst * (tps * 4 + nw * G_u * 4)
+                cand = (spills, cost, tps, G_u, nt_pad)
+                if best is None or cand[:2] < best[:2]:
                     best = cand
-            if best[0] == 0:
+        if best is None:
+            return None
+        _, _, tps, G_u, nt_pad = best
+        win = G_u * 1024
+        R = nt_pad * LANES
+        n_blocks = nt_pad // tps
+        o_of_all = (rows_all // LANES) // tps
+
+        # assignment + residue matching; one retry on fresh instances
+        placements = []   # (pos, row, seq, slot, cell_val)
+        W_of_seq = {}     # (seq, o) -> window row (nw,)
+        seq_off = 0
+        rem = np.arange(n_children)
+        for p_cap in (6, 2):
+            if rem.size == 0:
                 break
-        spills, _, _, tps, G_u, nt_pad, n_steps, w, in_win = best
-        if rows.shape[0] and spills / rows.shape[0] > max_spill_frac:
+            rows, pos, o_of = rows_all[rem], pos_all[rem], o_of_all[rem]
+            p_of, w_slot, W = _assign_passes(rows, pos, o_of, win, nw,
+                                             p_cap, n_blocks)
+            a = p_of >= 0
+            if not a.any():
+                break
+            seq = p_of[a].astype(np.int64) + seq_off
+            rows2 = rows[a] + seq * R
+            local_stripe = (pos[a] // STRIPE
+                            - W[p_of[a], o_of[a], w_slot[a]]
+                            * (CHUNK * G_u))
+            cell_val = (w_slot[a].astype(np.int64) * (CHUNK * G_u)
+                        + local_stripe)
+            rank2, _ = _rank_in_group(rows2)
+            slot = _match_tiles((seq_off + W.shape[0]) * nt_pad, rows2,
+                                rank2, pos[a] % STRIPE, cell_val,
+                                np.ones(rows2.shape[0], dtype=bool))
+            placed = slot >= 0
+            placements.append((pos[a][placed], rows[a][placed],
+                               seq[placed], slot[placed].astype(np.int64),
+                               cell_val[placed]))
+            for p in range(W.shape[0]):
+                for o in range(n_blocks):
+                    W_of_seq[(p + seq_off, o)] = W[p, o]
+            seq_off += W.shape[0]
+            keep = np.ones(rem.size, dtype=bool)
+            keep[np.flatnonzero(a)[placed]] = False
+            rem = rem[keep]
+
+        n_spill = rem.size
+        if n_children and n_spill / n_children > max_spill_frac:
             return None
 
-        step_of = (rows // LANES) // tps
-        local_stripe = (pos // STRIPE
-                        - w[step_of, sec] * (CHUNK * G_u))
-        cell_val = sec * (CHUNK * G_u) + local_stripe
-        ok = in_win & (local_stripe >= 0) & (local_stripe < CHUNK * G_u)
-        slot = _match_tiles(nt_pad, rows, rank, pos % STRIPE, cell_val,
-                            ok)
-        placed = slot >= 0
+        # instance list: (o, seq) pairs with children, plus (o, 0) always
+        inst_keys = set((int(o), 0) for o in range(n_blocks))
+        for ppos, prow, pseq, pslot, pcell in placements:
+            po = (prow // LANES) // tps
+            inst_keys.update(zip(po.tolist(), pseq.tolist()))
+        inst_list = sorted(inst_keys)              # grouped by o, seq asc
+        n_steps = len(inst_list)
+        inst_step = {}
+        step_meta = np.zeros((n_steps, nw + 2), dtype=np.int64)
+        for i, (o, s) in enumerate(inst_list):
+            inst_step[(o, s)] = i
+            step_meta[i, :nw] = W_of_seq.get((s, o), 0)
+            step_meta[i, nw] = 1 if s == 0 else 0   # (o, 0) always exists
+            step_meta[i, nw + 1] = o
 
-        vals = np.zeros((nt_pad, CHUNK, LANES), dtype=np.float32)
-        cells = np.zeros((nt_pad, CHUNK, LANES), dtype=np.int16)
-        route = np.zeros((nt_pad, CHUNK, LANES), dtype=np.int16)
-        t_of = (rows // LANES)[placed]
-        l_of = (rows % LANES)[placed]
-        s_of = slot[placed].astype(np.int64)
-        r_of = (pos % STRIPE)[placed]
-        vals[t_of, s_of, l_of] = 1.0
-        route[t_of, s_of, l_of] = r_of
-        cells[t_of, s_of, r_of] = cell_val[placed]
+        drain = np.int16(nw * CHUNK * G_u)
+        cells = np.full((n_steps * tps, CHUNK, LANES), drain,
+                        dtype=np.int16)
+        route = np.zeros((n_steps * tps, CHUNK, LANES), dtype=np.int16)
+        route_set = np.zeros((n_steps * tps, CHUNK, LANES), dtype=bool)
+        for ppos, prow, pseq, pslot, pcell in placements:
+            po = (prow // LANES) // tps
+            st = np.array([inst_step[(int(o), int(s))]
+                           for o, s in zip(po, pseq)], dtype=np.int64)
+            gt = st * tps + (prow // LANES) % tps
+            l_of = prow % LANES
+            r_of = ppos % STRIPE
+            route[gt, pslot, l_of] = r_of
+            route_set[gt, pslot, l_of] = True
+            cells[gt, pslot, r_of] = pcell
+        # unused stream positions route to a drain cell of their sublane
+        cell_free = cells == drain                     # (gt, s, r)
+        free_r = np.argmax(cell_free, axis=2).astype(np.int16)
+        gt_i, s_i, l_i = np.nonzero(~route_set)
+        route[gt_i, s_i, l_i] = free_r[gt_i, s_i]
 
-        x_pad_rows = (int(w.max()) + 1) * CHUNK * G_u
-        x_pad_rows = max(x_pad_rows, -(-n_positions // STRIPE))
+        w_max = int(step_meta[:, :nw].max()) if n_steps else 0
+        x_pad_rows = (w_max + 1) * CHUNK * G_u
+        x_pad_rows = max(x_pad_rows,
+                         -(-int(chunk_row.shape[0]) // STRIPE))
         x_pad_rows = -(-x_pad_rows // (CHUNK * G_u)) * (CHUNK * G_u)
-        spill_mask = ~placed
-        return cls(w.astype(np.int32),
-                   vals.reshape(nt_pad * CHUNK, LANES),
-                   cells.reshape(nt_pad * CHUNK, LANES),
-                   route.reshape(nt_pad * CHUNK, LANES),
-                   n_steps, tps, G_u, nw, x_pad_rows,
-                   pos[spill_mask].astype(np.int32),
-                   rows[spill_mask].astype(np.int32), interpret)
+        return cls(step_meta.astype(np.int32),
+                   cells.reshape(-1, LANES), route.reshape(-1, LANES),
+                   n_steps, tps, G_u, nw, nt_pad, x_pad_rows,
+                   pos_all[rem].astype(np.int32),
+                   rows_all[rem].astype(np.int32), interpret)
 
-    def apply(self, chunk_sums: jax.Array, nr_rows: int) -> jax.Array:
-        flat = chunk_sums.reshape(-1)
+    def apply(self, vec: jax.Array, nr_rows: int) -> jax.Array:
+        """vec: flat combined chunk-sum vector -> y (nr_rows,)."""
+        flat = vec.reshape(-1)
         need = self.x_pad_rows * STRIPE
         if flat.shape[0] < need:
             flat = jnp.pad(flat, (0, need - flat.shape[0]))
         x2 = flat[:need].reshape(-1, STRIPE)
-        grid = _gstream_chunk_sums_mw(
-            self.step_windows, x2, self.values, self.cell_idx, self.route,
+        grid = _final_gather_sums(
+            self.step_meta, x2, self.cell_idx, self.route,
             tiles_per_step=self.tiles_per_step, G=self.G,
-            n_steps=self.n_steps, nw=self.nw, interpret=self.interpret)
+            n_steps=self.n_steps, nw=self.nw, n_out_tiles=self.nt_pad,
+            interpret=self.interpret)
         y = grid.reshape(-1)[:nr_rows]
         if self.spill_pos is not None:
             y = y.at[self.spill_row].add(
-                jnp.take(chunk_sums.reshape(-1), self.spill_pos,
-                         mode="clip"))
+                jnp.take(vec.reshape(-1), self.spill_pos, mode="clip"))
         return y
 
 
@@ -443,18 +581,16 @@ def _flevel_unflatten(aux, children):
 
 
 def _final_flatten(f):
-    return ((f.step_windows, f.values, f.cell_idx, f.route,
-             f.spill_pos, f.spill_row),
-            (f.n_steps, f.tiles_per_step, f.G, f.nw, f.x_pad_rows,
-             f.interpret, f.n_spills))
+    return ((f.step_meta, f.cell_idx, f.route, f.spill_pos, f.spill_row),
+            (f.n_steps, f.tiles_per_step, f.G, f.nw, f.nt_pad,
+             f.x_pad_rows, f.interpret, f.n_spills))
 
 
 def _final_unflatten(aux, children):
     f = object.__new__(_FinalLevel)
-    (f.n_steps, f.tiles_per_step, f.G, f.nw, f.x_pad_rows,
-     f.interpret, f.n_spills) = aux
-    (f.step_windows, f.values, f.cell_idx, f.route,
-     f.spill_pos, f.spill_row) = children
+    (f.n_steps, f.tiles_per_step, f.G, f.nw, f.nt_pad,
+     f.x_pad_rows, f.interpret, f.n_spills) = aux
+    (f.step_meta, f.cell_idx, f.route, f.spill_pos, f.spill_row) = children
     return f
 
 

@@ -71,13 +71,39 @@ def test_reference_shaped_api():
     delete_csr_hw_matrix(hw)
 
 
-def test_finish_levels_active():
-    """The F-level finish (reduction-as-SpMV) engages and stays correct."""
+def test_finish_final_level_active():
+    """A moderate matrix is reduced entirely by the fixed-position final
+    level: no F levels, no XLA fallback, few spills."""
     from sparsetpu.formats import random_csr, spmv_gold, verification
     m = random_csr(1500, 1500, density=0.03, seed=60)  # ~45 nnz/row
     sm = SparseMatrix(m, backend="pallas", interpret=True)
-    assert len(sm._device.finish) >= 1, "expected an F finish level"
+    dev = sm._device
+    assert dev.final is not None, "expected the final reduction level"
+    assert not dev.finish, "no heavy rows -> no F levels expected"
+    assert dev.final.n_spills <= m.nr_nzeros // 100
     x = np.random.default_rng(3).standard_normal(m.nr_cols)
+    y = np.asarray(sm.spmv(x))
+    assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
+                        rel_thres=1e-3) == 0
+
+
+def test_finish_heavy_rows_f_levels():
+    """Rows with > HEAVY_CAP partials engage the F pre-reduction and stay
+    correct (power-law row lengths)."""
+    from sparsetpu.formats import spmv_gold, verification
+    from sparsetpu.formats.csr import CSRMatrix
+    rng = np.random.default_rng(7)
+    r, c = 300, 20000
+    nnz_per_row = np.minimum((rng.pareto(1.0, r) * 30).astype(int) + 1, c)
+    rows = np.repeat(np.arange(r), nnz_per_row)
+    cols = np.concatenate(
+        [rng.choice(c, k, replace=False) for k in nnz_per_row])
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    m = CSRMatrix.from_coo(rows, cols, vals, r, c)
+    sm = SparseMatrix(m, backend="pallas", interpret=True)
+    dev = sm._device
+    assert len(dev.finish) >= 1, "expected heavy-row F levels"
+    x = rng.standard_normal(c)
     y = np.asarray(sm.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
