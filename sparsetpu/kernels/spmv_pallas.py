@@ -360,8 +360,9 @@ class _FinalLevel:
     matching (same constraint as the forward pack) assigns sublane slots;
     leftovers spill to a small XLA scatter."""
 
-    MAX_NW = 8
-    G_CANDIDATES = (2, 4, 8, 16)
+    MAX_NW = 8            # layout cap (drain encoding head-room)
+    NW_CANDIDATES = (4, 8)
+    G_CANDIDATES = (2, 4, 8)
     TPS_CANDIDATES = (64, 32, 16, 8)
 
     def __init__(self, step_meta, cell_idx, route, n_steps, tiles_per_step,
@@ -391,32 +392,47 @@ class _FinalLevel:
         pos_all = valid.astype(np.int64)
         n_children = rows_all.shape[0]
         n_tiles = max(1, -(-nr_rows // LANES))
-        nw = cls.MAX_NW
 
-        # choose (window size, tiles per step) by spills, then stream cost
+        # choose (windows/step, window size, tiles/step) by a measured
+        # cost model (TPU v5e): per metadata tile ~(3 + 0.6*nw*G) ns (the
+        # select chain dominates), per window DMA ~6*nw*G ns/instance,
+        # per spilled child ~8 ns of XLA scatter.  The search runs on a
+        # row-range subsample and extrapolates, so pack time stays O(nnz).
+        sub_rows = min(nr_rows, 16 * LANES * CHUNK)     # <= 16384 rows
+        sub = rows_all < sub_rows
+        rows_s, pos_s = rows_all[sub], pos_all[sub]
+        scale = max(1.0, n_children / max(int(sub.sum()), 1))
         best = None
-        for G_u in cls.G_CANDIDATES:
-            for tps in cls.TPS_CANDIDATES:
-                if tps > max(8, n_tiles):
-                    continue
-                nt_pad = -(-n_tiles // tps) * tps
-                n_blocks = nt_pad // tps
-                o_of = (rows_all // LANES) // tps
-                p_of, _, _ = _assign_passes(rows_all, pos_all, o_of,
-                                            G_u * 1024, nw, 6, n_blocks)
-                spills = int((p_of < 0).sum())
-                extra = len(np.unique(
-                    p_of[p_of > 0].astype(np.int64) * n_blocks
-                    + o_of[p_of > 0]))
-                n_inst = n_blocks + extra
-                # per-instance bytes: tps metadata tiles + nw windows
-                cost = n_inst * (tps * 4 + nw * G_u * 4)
-                cand = (spills, cost, tps, G_u, nt_pad)
-                if best is None or cand[:2] < best[:2]:
-                    best = cand
+        for nw_c in cls.NW_CANDIDATES:
+            for G_u in cls.G_CANDIDATES:
+                for tps in cls.TPS_CANDIDATES:
+                    # small steps pay a fixed per-step cost; only consider
+                    # them when the output itself is tiny
+                    if tps > max(8, n_tiles) or (tps < 32 and
+                                                 n_tiles >= 32):
+                        continue
+                    nt_pad = -(-n_tiles // tps) * tps
+                    n_blk_s = max(1, -(-min(sub_rows, nr_rows)
+                                       // (LANES * tps)))
+                    o_of = (rows_s // LANES) // tps
+                    p_of, _, _ = _assign_passes(rows_s, pos_s, o_of,
+                                                G_u * 1024, nw_c, 4,
+                                                n_blk_s)
+                    spills = int((p_of < 0).sum())
+                    extra = len(np.unique(
+                        p_of[p_of > 0].astype(np.int64) * n_blk_s
+                        + o_of[p_of > 0]))
+                    n_inst = n_blk_s + extra
+                    cost = scale * (
+                        n_inst * tps * (3.0 + 0.6 * nw_c * G_u)
+                        + n_inst * (100.0 + 6.0 * nw_c * G_u)
+                        + 8.0 * spills)
+                    cand = (cost, tps, G_u, nw_c, nt_pad)
+                    if best is None or cand[0] < best[0]:
+                        best = cand
         if best is None:
             return None
-        _, _, tps, G_u, nt_pad = best
+        _, tps, G_u, nw, nt_pad = best
         win = G_u * 1024
         R = nt_pad * LANES
         n_blocks = nt_pad // tps
