@@ -48,7 +48,8 @@ class ShardedSpmv:
     Each of the P partitions is packed independently (per-partition local
     row ids), padded to a common step count, stacked on a leading axis and
     sharded over the mesh.  ``spmv`` is a single jitted SPMD program:
-    all-gather x -> local GStream kernel -> local finish -> sharded y.
+    all-gather x -> local GStream kernel -> local fixed-position finish
+    (padded to uniform shapes across shards) -> sharded y.
     """
 
     mesh: Mesh
@@ -69,6 +70,13 @@ class ShardedSpmv:
     n_steps: int
     padded_cols: int
     interpret: bool = False
+    # per-shard final reduction (None -> XLA segment-sum fallback)
+    fin_meta: Optional[jax.Array] = None    # (P, S, nw+2)
+    fin_cell: Optional[jax.Array] = None
+    fin_route: Optional[jax.Array] = None
+    fin_spill_pos: Optional[jax.Array] = None
+    fin_spill_row: Optional[jax.Array] = None
+    fin_static: Optional[tuple] = None      # (tps, G, nw, S, n_out, xpad)
 
     @property
     def num_partitions(self) -> int:
@@ -79,13 +87,15 @@ class ShardedSpmv:
         pad = self.padded_cols - self.nr_cols
         if pad:
             x = jnp.pad(x, (0, pad))
+        fin = (self.fin_meta, self.fin_cell, self.fin_route,
+               self.fin_spill_pos, self.fin_spill_row)
         y = _sharded_spmv_jit(
             self.values, self.cell_idx, self.route, self.chunk_row,
-            self.step_window, x,
+            self.step_window, fin, x,
             mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step, n_steps=self.n_steps,
-            interpret=self.interpret)
+            fin_static=self.fin_static, interpret=self.interpret)
         # y: (P, rows_per_part) -> global y
         return _scatter_rows(y, self.row_starts, self.nr_rows)
 
@@ -103,16 +113,18 @@ def _scatter_rows(y_parts, row_starts, nr_rows):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
-                                    "tiles_per_step", "n_steps", "interpret"))
-def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, x,
-                      *, mesh, axis, rows_per_part, G, tiles_per_step,
-                      n_steps, interpret):
+                                    "tiles_per_step", "n_steps",
+                                    "fin_static", "interpret"))
+def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, fin,
+                      x, *, mesh, axis, rows_per_part, G, tiles_per_step,
+                      n_steps, fin_static, interpret):
     # check_vma=False: pallas_call inside shard_map does not annotate its
     # out_shape with mesh-variance info, and every operand here is
     # explicitly sharded anyway
     shard_map = functools.partial(jax.shard_map, check_vma=False)
 
-    def local(values, cell_idx, route, chunk_row, step_window, x_shard):
+    def local(values, cell_idx, route, chunk_row, step_window, fin,
+              x_shard):
         # x is column-sharded across the mesh: gather the full vector over
         # ICI (the reference's per-CU x broadcast, spmv.cpp:180-192, lifted
         # to the chip level)
@@ -120,24 +132,27 @@ def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, x,
         x2 = x_full.reshape(-1, STRIPE)
         y = _local_spmv(step_window[0], x2, values[0], cell_idx[0],
                         route[0], chunk_row[0],
+                        jax.tree.map(lambda a: a[0], fin),
                         rows_per_part=rows_per_part, G=G,
                         tiles_per_step=tiles_per_step, n_steps=n_steps,
-                        interpret=interpret)
+                        fin_static=fin_static, interpret=interpret)
         return y[None]
 
     spec_m = P(axis)
     return shard_map(local, mesh=mesh,
                      in_specs=(spec_m, spec_m, spec_m, spec_m, spec_m,
-                               P(axis)),
+                               spec_m, P(axis)),
                      out_specs=P(axis))(
-        values, cell_idx, route, chunk_row, step_window, x)
+        values, cell_idx, route, chunk_row, step_window, fin, x)
 
 
-def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, *,
-                rows_per_part, G, tiles_per_step, n_steps, interpret):
+def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, fin,
+                *, rows_per_part, G, tiles_per_step, n_steps, fin_static,
+                interpret):
     """Per-shard SpMV: Pallas kernel when available, XLA fallback in
     simulated-mesh tests (CPU devices cannot run the TPU kernel)."""
-    from ..kernels.spmv_pallas import _gstream_chunk_sums
+    from ..kernels.spmv_pallas import (_final_gather_sums,
+                                       _gstream_chunk_sums)
     if interpret == "xla":
         # emulate the kernel semantics in pure XLA (for CPU mesh tests)
         chunk_sums = _chunk_sums_xla(step_window, x2, values, cell_idx,
@@ -148,10 +163,26 @@ def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, *,
             step_window, x2, values, cell_idx, route,
             tiles_per_step=tiles_per_step, G=G, n_steps=n_steps,
             interpret=bool(interpret))
-    y = jax.ops.segment_sum(chunk_sums.reshape(-1), chunk_row,
-                            num_segments=rows_per_part + 1,
-                            indices_are_sorted=False)
-    return y[:rows_per_part]
+    vec = chunk_sums.reshape(-1)
+    if fin_static is None or interpret == "xla":
+        y = jax.ops.segment_sum(vec, chunk_row,
+                                num_segments=rows_per_part + 1,
+                                indices_are_sorted=False)
+        return y[:rows_per_part]
+    # the on-device fixed-position finish (padded uniform across shards)
+    f_tps, f_G, f_nw, f_S, f_n_out, f_xpad = fin_static
+    fin_meta, fin_cell, fin_route, spill_pos, spill_row = fin
+    need = f_xpad * STRIPE
+    flat = jnp.pad(vec, (0, max(0, need - vec.shape[0])))[:need]
+    grid = _final_gather_sums(
+        fin_meta, flat.reshape(-1, STRIPE), fin_cell, fin_route,
+        tiles_per_step=f_tps, G=f_G, n_steps=f_S, nw=f_nw,
+        n_out_tiles=f_n_out, interpret=bool(interpret))
+    y = grid.reshape(-1)[:rows_per_part]
+    if spill_pos is not None:
+        y = y.at[spill_row].add(
+            jnp.take(vec, spill_pos, mode="clip"), mode="drop")
+    return y
 
 
 def _chunk_sums_xla(step_window, x2, values, cell_idx, route, *, G,
@@ -213,8 +244,12 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         rowmaps.append(pad_steps(cr, n_steps, tps, fill=rows_per_part))
         winds.append(pad_steps(pk.step_window, n_steps, 1))
 
+    fin_arrays, fin_static = _build_shard_finals(
+        rowmaps, rows_per_part)
+
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(jnp.asarray(a), sharding)
+    fin_dev = [dev(a) if a is not None else None for a in fin_arrays]
     return ShardedSpmv(
         mesh=mesh, axis=axis, nr_rows=matrix.nr_rows,
         nr_cols=matrix.nr_cols, nr_nzeros=matrix.nr_nzeros,
@@ -224,7 +259,70 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         chunk_row=dev(np.stack([r.reshape(-1) for r in rowmaps])),
         step_window=dev(np.stack(winds)),
         G=G, tiles_per_step=tps, n_steps=n_steps,
-        padded_cols=packs[0].padded_cols, interpret=interpret)
+        padded_cols=packs[0].padded_cols, interpret=interpret,
+        fin_meta=fin_dev[0], fin_cell=fin_dev[1], fin_route=fin_dev[2],
+        fin_spill_pos=fin_dev[3], fin_spill_row=fin_dev[4],
+        fin_static=fin_static)
+
+
+def _build_shard_finals(rowmaps, rows_per_part):
+    """Per-shard fixed-position finals, pinned to a common configuration
+    and padded to uniform shapes (extra steps write zeros to a dedicated
+    pad output block; extra spill slots target the local trap row and are
+    dropped).  Returns (arrays, static) or ((None,)*5, None) when a shard
+    cannot be built (pathological placement -> XLA fallback)."""
+    from ..kernels.spmv_pallas import _FinalLevel
+
+    fins, force = [], None
+    for rm in rowmaps:
+        cr = rm.reshape(-1).astype(np.int64)
+        fin = _FinalLevel.build(cr, rows_per_part, False, force=force)
+        if fin is None:
+            return (None,) * 5, None
+        if force is None:
+            force = (fin.nw, fin.G, fin.tiles_per_step)
+        fins.append(fin)
+
+    nw, G_u, tps = force
+    nt_pad = fins[0].nt_pad
+    drain = np.int16(nw * 8 * G_u)
+    S_max = max(f.n_steps for f in fins)
+    K_max = max(f.n_spills for f in fins)
+    x_pad = max(f.x_pad_rows for f in fins)
+    metas, cells_, routes_, sp_pos, sp_row = [], [], [], [], []
+    for f in fins:
+        meta = np.asarray(f.step_meta)
+        cell = np.asarray(f.cell_idx)
+        rout = np.asarray(f.route)
+        pad_s = S_max - f.n_steps
+        if pad_s:
+            pm = np.zeros((pad_s, nw + 2), np.int32)
+            pm[:, nw] = 1                      # first visit: zero-fill
+            pm[:, nw + 1] = nt_pad // tps      # dedicated pad out block
+            meta = np.concatenate([meta, pm], axis=0)
+            cell = np.concatenate(
+                [cell, np.full((pad_s * tps * 8, cell.shape[1]), drain,
+                               np.int16)], axis=0)
+            rout = np.concatenate(
+                [rout, np.zeros((pad_s * tps * 8, rout.shape[1]),
+                                np.int16)], axis=0)
+        pos = (np.asarray(f.spill_pos) if f.spill_pos is not None
+               else np.zeros(0, np.int32))
+        row = (np.asarray(f.spill_row) if f.spill_row is not None
+               else np.zeros(0, np.int32))
+        sp_pos.append(np.pad(pos, (0, K_max - pos.shape[0])))
+        sp_row.append(np.pad(row, (0, K_max - row.shape[0]),
+                             constant_values=rows_per_part))
+        metas.append(meta)
+        cells_.append(cell)
+        routes_.append(rout)
+    arrays = (np.stack(metas), np.stack(cells_), np.stack(routes_),
+              np.stack(sp_pos).astype(np.int32),
+              np.stack(sp_row).astype(np.int32))
+    if K_max == 0:
+        arrays = arrays[:3] + (None, None)
+    static = (tps, G_u, nw, S_max, nt_pad + tps, x_pad)
+    return arrays, static
 
 
 def _slice_rows(matrix: CSRMatrix, r0: int, r1: int) -> CSRMatrix:

@@ -384,7 +384,9 @@ class _FinalLevel:
 
     @classmethod
     def build(cls, chunk_row, nr_rows, interpret,
-              max_spill_frac: float = 0.2):
+              max_spill_frac: float = 0.2, force=None):
+        """force=(nw, G, tps) pins the configuration (the distributed
+        layer needs uniform shapes across shards)."""
         from ..pack.gather_stream import _match_tiles
 
         valid = np.flatnonzero(chunk_row != nr_rows)
@@ -398,6 +400,13 @@ class _FinalLevel:
         # select chain dominates), per window DMA ~6*nw*G ns/instance,
         # per spilled child ~8 ns of XLA scatter.  The search runs on a
         # row-range subsample and extrapolates, so pack time stays O(nnz).
+        if force is not None:
+            nw, G_u, tps = force
+            nt_pad = -(-n_tiles // tps) * tps
+            return cls._build_with(chunk_row, nr_rows, interpret,
+                                   max_spill_frac, nw, G_u, tps, nt_pad,
+                                   rows_all, pos_all, n_children)
+
         sub_rows = min(nr_rows, 16 * LANES * CHUNK)     # <= 16384 rows
         sub = rows_all < sub_rows
         rows_s, pos_s = rows_all[sub], pos_all[sub]
@@ -433,6 +442,15 @@ class _FinalLevel:
         if best is None:
             return None
         _, tps, G_u, nw, nt_pad = best
+        return cls._build_with(chunk_row, nr_rows, interpret,
+                               max_spill_frac, nw, G_u, tps, nt_pad,
+                               rows_all, pos_all, n_children)
+
+    @classmethod
+    def _build_with(cls, chunk_row, nr_rows, interpret, max_spill_frac,
+                    nw, G_u, tps, nt_pad, rows_all, pos_all, n_children):
+        from ..pack.gather_stream import _match_tiles
+
         win = G_u * 1024
         R = nt_pad * LANES
         n_blocks = nt_pad // tps
@@ -540,8 +558,11 @@ class _FinalLevel:
             interpret=self.interpret)
         y = grid.reshape(-1)[:nr_rows]
         if self.spill_pos is not None:
+            # mode="drop": padded spill slots (dist layer) carry
+            # spill_row == nr_rows and must vanish
             y = y.at[self.spill_row].add(
-                jnp.take(vec.reshape(-1), self.spill_pos, mode="clip"))
+                jnp.take(vec.reshape(-1), self.spill_pos, mode="clip"),
+                mode="drop")
         return y
 
 

@@ -14,18 +14,23 @@ requires_devices = pytest.mark.skipif(
 
 
 @requires_devices
+@pytest.mark.parametrize("interpret", ["xla", True])
 @pytest.mark.parametrize("shape,density", [
     ((512, 1024), 0.02),
     ((1000, 3000), 0.01),
 ])
-def test_sharded_spmv_matches_gold(shape, density):
+def test_sharded_spmv_matches_gold(shape, density, interpret):
     m = random_csr(*shape, density=density, seed=20)
     mesh = make_mesh(8)
-    sh = shard_spmv(m, mesh, interpret="xla")
+    sh = shard_spmv(m, mesh, interpret=interpret)
     x = np.random.default_rng(5).standard_normal(m.nr_cols)
     y = np.asarray(sh.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
+    if interpret is True:
+        # the per-shard Pallas finish must be active (not the XLA
+        # segment-sum fallback)
+        assert sh.fin_static is not None
 
 
 @requires_devices
