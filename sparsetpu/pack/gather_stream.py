@@ -302,10 +302,50 @@ def _native_pack_block():
         return None
 
 
+# Measured on TPU v5e at tiles_per_step=128 (bench/micro ladder): slot
+# throughput of the dual-gather kernel vs window-group count G.  The select
+# chain costs ~linearly in G, while smaller windows pad short (row, window)
+# nnz runs to the 8-slot chunk — the pack picks G minimizing predicted time.
+_RATE_GSLOT = {1: 93.0, 2: 94.0, 4: 90.0, 8: 90.0, 16: 77.0, 32: 52.0}
+
+
+def _choose_G(matrix: CSRMatrix) -> int:
+    """Pick the column-window group count G from the (row, window) nnz
+    histogram: total padded slots at each G over the measured slot rate."""
+    need = max(1, -(-matrix.nr_cols // (CHUNK * STRIPE)))
+    if need <= 4:
+        return min(MAX_G, need)
+    w0 = 4 * CHUNK * STRIPE                     # finest candidate window
+    nb0 = -(-matrix.nr_cols // w0)
+    rows_all = np.repeat(np.arange(matrix.nr_rows, dtype=np.int64),
+                         matrix.row_nnz())
+    key = rows_all * nb0 + matrix.col_ind.astype(np.int64) // w0
+    uk, counts = np.unique(key, return_counts=True)
+    urow, uw = uk // nb0, uk % nb0
+    best_g, best_t = None, None
+    for g in (4, 8, 16, 32):
+        if g > MAX_G:
+            continue
+        f = g // 4
+        nb = -(-nb0 // f)
+        key2 = urow * nb + uw // f
+        u2, inv = np.unique(key2, return_inverse=True)
+        c2 = np.zeros(u2.shape[0], dtype=np.int64)
+        np.add.at(c2, inv, counts)
+        slots = 8 * int(np.sum(-(-c2 // CHUNK)))
+        t = slots / _RATE_GSLOT[g]
+        if best_t is None or t < best_t:
+            best_g, best_t = g, t
+        if g >= need:                           # one window covers all cols
+            break
+    return best_g
+
+
 def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  tiles_per_step: Optional[int] = None,
                  value_dtype=np.float32, use_native: bool = True,
-                 shuffle_lanes: bool = True) -> GStreamMatrix:
+                 shuffle_lanes: bool = True,
+                 G: Optional[int] = None) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
     csr_hw.cpp:377-1398, collapsed to one parameterized routine)."""
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
@@ -320,7 +360,8 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
             tiles_per_step = 32
         else:
             tiles_per_step = 8
-    G = min(MAX_G, max(1, -(-nr_cols // (CHUNK * STRIPE))))
+    if G is None:
+        G = _choose_G(matrix)
     W = G * CHUNK * STRIPE
     n_blocks = max(1, -(-nr_cols // W))
     padded_cols = n_blocks * W
