@@ -305,7 +305,7 @@ def _build_shard_finals(rowmaps, rows_per_part):
                                np.int16)], axis=0)
             rout = np.concatenate(
                 [rout, np.zeros((pad_s * tps * 8, rout.shape[1]),
-                                np.int16)], axis=0)
+                                rout.dtype)], axis=0)
         pos = (np.asarray(f.spill_pos) if f.spill_pos is not None
                else np.zeros(0, np.int32))
         row = (np.asarray(f.spill_row) if f.spill_row is not None

@@ -407,11 +407,28 @@ class _FinalLevel:
                                    max_spill_frac, nw, G_u, tps, nt_pad,
                                    rows_all, pos_all, n_children)
 
+        def eval_cand(rows_c, pos_c, nw_c, G_u, tps, row_cap, scale):
+            n_blk = max(1, -(-row_cap // (LANES * tps)))
+            o_of = (rows_c // LANES) // tps
+            p_of, _, _ = _assign_passes(rows_c, pos_c, o_of, G_u * 1024,
+                                        nw_c, 4, n_blk)
+            spills = int((p_of < 0).sum())
+            extra = len(np.unique(
+                p_of[p_of > 0].astype(np.int64) * n_blk
+                + o_of[p_of > 0]))
+            n_inst = n_blk + extra
+            return scale * (n_inst * tps * (3.0 + 0.6 * nw_c * G_u)
+                            + n_inst * (100.0 + 6.0 * nw_c * G_u)
+                            + 8.0 * spills)
+
+        # rank candidates on a row-range subsample, then re-evaluate the
+        # leaders on the full children set (subsample spill estimates are
+        # noisy)
         sub_rows = min(nr_rows, 16 * LANES * CHUNK)     # <= 16384 rows
         sub = rows_all < sub_rows
         rows_s, pos_s = rows_all[sub], pos_all[sub]
         scale = max(1.0, n_children / max(int(sub.sum()), 1))
-        best = None
+        cands = []
         for nw_c in cls.NW_CANDIDATES:
             for G_u in cls.G_CANDIDATES:
                 for tps in cls.TPS_CANDIDATES:
@@ -420,28 +437,21 @@ class _FinalLevel:
                     if tps > max(8, n_tiles) or (tps < 32 and
                                                  n_tiles >= 32):
                         continue
-                    nt_pad = -(-n_tiles // tps) * tps
-                    n_blk_s = max(1, -(-min(sub_rows, nr_rows)
-                                       // (LANES * tps)))
-                    o_of = (rows_s // LANES) // tps
-                    p_of, _, _ = _assign_passes(rows_s, pos_s, o_of,
-                                                G_u * 1024, nw_c, 4,
-                                                n_blk_s)
-                    spills = int((p_of < 0).sum())
-                    extra = len(np.unique(
-                        p_of[p_of > 0].astype(np.int64) * n_blk_s
-                        + o_of[p_of > 0]))
-                    n_inst = n_blk_s + extra
-                    cost = scale * (
-                        n_inst * tps * (3.0 + 0.6 * nw_c * G_u)
-                        + n_inst * (100.0 + 6.0 * nw_c * G_u)
-                        + 8.0 * spills)
-                    cand = (cost, tps, G_u, nw_c, nt_pad)
-                    if best is None or cand[0] < best[0]:
-                        best = cand
-        if best is None:
+                    cost = eval_cand(rows_s, pos_s, nw_c, G_u, tps,
+                                     min(sub_rows, nr_rows), scale)
+                    cands.append((cost, tps, G_u, nw_c))
+        if not cands:
             return None
-        _, tps, G_u, nw, nt_pad = best
+        cands.sort()
+        if sub_rows < nr_rows and len(cands) > 1:
+            top = [eval_cand(rows_all, pos_all, nw_c, G_u, tps, nr_rows,
+                             1.0) + 0 * i
+                   for i, (_, tps, G_u, nw_c) in enumerate(cands[:3])]
+            best_i = int(np.argmin(top))
+            _, tps, G_u, nw = cands[best_i]
+        else:
+            _, tps, G_u, nw = cands[0]
+        nt_pad = -(-n_tiles // tps) * tps
         return cls._build_with(chunk_row, nr_rows, interpret,
                                max_spill_frac, nw, G_u, tps, nt_pad,
                                rows_all, pos_all, n_children)
@@ -515,7 +525,7 @@ class _FinalLevel:
         drain = np.int16(nw * CHUNK * G_u)
         cells = np.full((n_steps * tps, CHUNK, LANES), drain,
                         dtype=np.int16)
-        route = np.zeros((n_steps * tps, CHUNK, LANES), dtype=np.int16)
+        route = np.zeros((n_steps * tps, CHUNK, LANES), dtype=np.int8)
         route_set = np.zeros((n_steps * tps, CHUNK, LANES), dtype=bool)
         for ppos, prow, pseq, pslot, pcell in placements:
             po = (prow // LANES) // tps
@@ -529,7 +539,7 @@ class _FinalLevel:
             cells[gt, pslot, r_of] = pcell
         # unused stream positions route to a drain cell of their sublane
         cell_free = cells == drain                     # (gt, s, r)
-        free_r = np.argmax(cell_free, axis=2).astype(np.int16)
+        free_r = np.argmax(cell_free, axis=2).astype(np.int8)
         gt_i, s_i, l_i = np.nonzero(~route_set)
         route[gt_i, s_i, l_i] = free_r[gt_i, s_i]
 

@@ -64,7 +64,8 @@ def pack_block_native(prow, pcol, pval, preal, trap_row: int,
             chunk_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     finally:
         lib.stpu_pack_free(handle)
-    return values, cells, route, chunk_row
+    # residues are < 128: int8 stream (12% less kernel traffic)
+    return values, cells, route.astype(np.int8), chunk_row
 
 
 def available() -> bool:

@@ -38,7 +38,7 @@ Layout
 Arrays produced (n = number of (8,128) tiles, padded to tiles_per_step):
   values      (n*8, 128) value dtype          stream layout
   cell_idx    (n*8, 128) int16   per-cell local stripe index in [0, 8G)
-  route       (n*8, 128) int16   per-stream-position residue in [0, 128)
+  route       (n*8, 128) int8    per-stream-position residue in [0, 128)
   chunk_row   (n, 128)   int32   global row per chunk (nr_rows = pad trap)
   step_window (n_steps,) int32   column-block index per grid step (the
                                  x-window staged for that step is block-row
@@ -70,7 +70,7 @@ class GStreamMatrix:
 
     values: np.ndarray       # (n_tiles*8, 128)
     cell_idx: np.ndarray     # (n_tiles*8, 128) int16
-    route: np.ndarray        # (n_tiles*8, 128) int16
+    route: np.ndarray        # (n_tiles*8, 128) int8
     chunk_row: np.ndarray    # (n_tiles, 128) int32
     step_window: np.ndarray  # (n_steps,) int32
     nr_rows: int
@@ -217,7 +217,7 @@ def _materialize(chunks_el_row, pcol, pval, preal, slot, local_chunk,
 
     vals = np.zeros((n_t, CHUNK, LANES), dtype=value_dtype)
     cells = np.zeros((n_t, CHUNK, LANES), dtype=np.int16)
-    route = np.zeros((n_t, CHUNK, LANES), dtype=np.int16)
+    route = np.zeros((n_t, CHUNK, LANES), dtype=np.int8)
     rowmap = np.full((n_t, LANES), nr_rows, dtype=np.int32)
 
     tile_of = (local_chunk // TILE_CHUNKS).astype(np.int64)
@@ -379,7 +379,7 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
     def _pad_tiles(k):
         all_v.append(np.zeros((k * CHUNK, LANES), dtype=value_dtype))
         all_c.append(np.zeros((k * CHUNK, LANES), dtype=np.int16))
-        all_r.append(np.zeros((k * CHUNK, LANES), dtype=np.int16))
+        all_r.append(np.zeros((k * CHUNK, LANES), dtype=np.int8))
         all_m.append(np.full((k, LANES), nr_rows, dtype=np.int32))
 
     for b in range(n_blocks):
