@@ -53,7 +53,12 @@ class SparseMatrix:
         self._backend = self._resolve_backend(backend)
         self._device: Optional[GStreamDevice] = None
         self._packed: Optional[GStreamMatrix] = None
-        if self._backend == "pallas":
+        if self._backend == "pallas" and self.config.is_double:
+            # DOUBLE=1 (util.h:18-26): two-float emulated kernels
+            from ..kernels.f64emu import DF64GStreamDevice
+            self._device = DF64GStreamDevice(matrix, interpret=interpret)
+            self._packed = self._device.meta
+        elif self._backend == "pallas":
             self._packed = pack_gstream(matrix, self.config,
                                         value_dtype=np.float32)
             self._device = GStreamDevice(self._packed, interpret=interpret)
@@ -77,23 +82,30 @@ class SparseMatrix:
     def packed(self) -> Optional[GStreamMatrix]:
         return self._packed
 
-    def spmv(self, x) -> jax.Array:
+    def spmv(self, x):
         """y = A @ x (spmv_hw analogue, csr_hw_wrapper.cpp:193-288, with the
         per-block device calls and host accumulation fused into one device
-        program)."""
+        program).  f64 configs return a float64 numpy array (joined from
+        the device's two-float planes); f32 returns a jax.Array."""
         if self._backend == "pallas":
+            if self.config.is_double:
+                return self._device.spmv_f64(x)
             return self._device.spmv(x)
         x = jnp.asarray(x, dtype=self.dtype)
         return spmv_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
 
-    def spmm(self, x) -> jax.Array:
+    def spmm(self, x):
         """Y = A @ X for X of shape (nr_cols, k) (multi-RHS extension) —
         fused kernel: one metadata fetch serves all k right-hand sides."""
-        x = jnp.asarray(x)
         if self._backend == "pallas":
+            if self.config.is_double:
+                x = np.asarray(x, dtype=np.float64)
+                return np.stack([self._device.spmv_f64(x[:, k])
+                                 for k in range(x.shape[1])], axis=1)
             from ..kernels.spmm import spmm_gstream
-            return spmm_gstream(self._device, x)
+            return spmm_gstream(self._device, jnp.asarray(x))
+        x = jnp.asarray(x)
         return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
 
@@ -112,9 +124,13 @@ class SparseMatrix:
             return self._device.prepare_x(x)
         return jnp.asarray(x, dtype=self.dtype)
 
-    def spmv_packed_x(self, x_packed) -> jax.Array:
+    def spmv_packed_x(self, x_packed):
         if self._backend == "pallas":
-            return self._device.spmv(x_packed, x_is_packed=True)
+            y = self._device.spmv(x_packed, x_is_packed=True)
+            if self.config.is_double:
+                from ..kernels.f64emu import join_f64
+                return join_f64(np.asarray(y[0]), np.asarray(y[1]))
+            return y
         return self.spmv(x_packed)
 
     def unpack(self) -> CSRMatrix:

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SPLITTER = jnp.float32((1 << 12) + 1)  # Veltkamp split for f32 (24-bit)
+# Veltkamp split constant for f32 (24-bit mantissa).  A plain Python float
+# (weak-typed literal) so pallas kernels can close over it.
+_SPLITTER = float((1 << 12) + 1)
 
 
 def split_f64(x: np.ndarray):
@@ -74,12 +76,23 @@ def df64_mul(ahi, alo, bhi, blo):
     return s, e2
 
 
+def _quick_two_sum(a, b):
+    """Dekker FastTwoSum: requires |a| >= |b| (guaranteed post-TwoSum)."""
+    s = a + b
+    return s, b - (s - a)
+
+
 def df64_add(ahi, alo, bhi, blo):
-    """(ahi+alo) + (bhi+blo) as renormalized df64 (Knuth TwoSum chain)."""
-    s, e = _two_sum(ahi, bhi)
-    e = e + (alo + blo)
-    hi, lo = _two_sum(s, e)
-    return hi, lo
+    """(ahi+alo) + (bhi+blo) as renormalized df64 — the accurate ("IEEE")
+    double-double add: both lo terms pass through their own TwoSum, so a
+    tiny correction survives next to a large compensation term (the sloppy
+    3-op variant rounds it away, e.g. on 1e8 + 1 - 1e8 + 1/3 rows)."""
+    s1, s2 = _two_sum(ahi, bhi)
+    t1, t2 = _two_sum(alo, blo)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    return _quick_two_sum(s1, s2)
 
 
 @functools.partial(jax.jit, static_argnames=("nr_rows",))
@@ -123,3 +136,287 @@ def spmv_f64_emulated(matrix, x: np.ndarray) -> np.ndarray:
                            jnp.asarray(xhi), jnp.asarray(xlo),
                            matrix.nr_rows)
     return join_f64(np.asarray(yh), np.asarray(yl))
+
+
+# ---------------------------------------------------------------------------
+# df64 GStream device: the packed-kernel fast path for f64 emulation
+# ---------------------------------------------------------------------------
+
+def _df64_tree(h, l):
+    """Pairwise df64 reduction of an (8, 128) tile of (hi, lo) pairs down
+    to (128,) df64.  Each level renormalizes with df64_add — a plain f32
+    error pile would round small corrections away whenever a single
+    compensation term is large (e.g. 1e8 + 1 - 1e8 rows)."""
+    for width in (4, 2, 1):
+        h, l = df64_add(h[:width], l[:width],
+                        h[width:2 * width], l[width:2 * width])
+    return h[0], l[0]
+
+
+def _df64_spmv_kernel(sw_ref, xh_ref, xl_ref, vh_ref, vl_ref, cell_ref,
+                      route_ref, oh_ref, ol_ref, *, tiles_per_step: int,
+                      G: int):
+    """df64 dual-gather kernel: error-free TwoProd per element, compensated
+    pairwise chunk sums (the FPGA's f64 MAC, spmv.cpp:66-104 with
+    -DDOUBLE, rebuilt as two-float arithmetic on the f32 VPU)."""
+    from ..pack.gather_stream import CHUNK as _C, LANES as _L
+    for t in range(tiles_per_step):
+        sl = slice(t * _C, (t + 1) * _C)
+        i1 = cell_ref[sl, :].astype(jnp.int32)
+        j = route_ref[sl, :].astype(jnp.int32)
+        sub = jnp.bitwise_and(i1, _C - 1)
+        grp = jnp.right_shift(i1, 3)
+        g1h = jnp.zeros((_C, _L), jnp.float32)
+        g1l = jnp.zeros((_C, _L), jnp.float32)
+        for g in range(G):
+            ph = jnp.take_along_axis(xh_ref[g * _C:(g + 1) * _C, :], sub,
+                                     axis=0)
+            pl_ = jnp.take_along_axis(xl_ref[g * _C:(g + 1) * _C, :], sub,
+                                      axis=0)
+            g1h = jnp.where(grp == g, ph, g1h)
+            g1l = jnp.where(grp == g, pl_, g1l)
+        g2h = jnp.take_along_axis(g1h, j, axis=1)
+        g2l = jnp.take_along_axis(g1l, j, axis=1)
+        ah, al = vh_ref[sl, :], vl_ref[sl, :]
+        p, e = _two_prod(ah, g2h)
+        e = e + (ah * g2l + al * g2h)      # al*g2l is a 2^-48 term: dropped
+        hi, err = _df64_tree(p, e)
+        oh_ref[t, :] = hi
+        ol_ref[t, :] = err
+
+
+def _df64_final_kernel(sw_ref, *refs, tiles_per_step: int, G: int, nw: int):
+    """df64 variant of the final gather-accumulate level (hi and err
+    planes gathered with the same cells/routes, df64-added across
+    instances)."""
+    import jax.numpy as jnp
+    from ..pack.gather_stream import CHUNK as _C, LANES as _L
+    from jax.experimental import pallas as pl
+    xh_refs = refs[:nw]
+    xl_refs = refs[nw:2 * nw]
+    cell_ref, route_ref, oh_ref, ol_ref = refs[2 * nw:]
+    i = pl.program_id(0)
+    first = sw_ref[i, nw] == 1
+    hs, ls = [], []
+    for t in range(tiles_per_step):
+        sl = slice(t * _C, (t + 1) * _C)
+        i1 = cell_ref[sl, :].astype(jnp.int32)
+        j = route_ref[sl, :].astype(jnp.int32)
+        sub = jnp.bitwise_and(i1, _C - 1)
+        grp = jnp.right_shift(i1, 3)
+        g1h = jnp.zeros((_C, _L), jnp.float32)
+        g1l = jnp.zeros((_C, _L), jnp.float32)
+        for w in range(nw):
+            for g in range(G):
+                ph = jnp.take_along_axis(
+                    xh_refs[w][g * _C:(g + 1) * _C, :], sub, axis=0)
+                pl2 = jnp.take_along_axis(
+                    xl_refs[w][g * _C:(g + 1) * _C, :], sub, axis=0)
+                g1h = jnp.where(grp == w * G + g, ph, g1h)
+                g1l = jnp.where(grp == w * G + g, pl2, g1l)
+        g2h = jnp.take_along_axis(g1h, j, axis=1)
+        g2l = jnp.take_along_axis(g1l, j, axis=1)
+        hi, err = _df64_tree(g2h, g2l)
+        hs.append(hi)
+        ls.append(err)
+    ah = jnp.stack(hs, axis=0)
+    al = jnp.stack(ls, axis=0)
+
+    @pl.when(first)
+    def _():
+        oh_ref[...] = ah
+        ol_ref[...] = al
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        h, l = df64_add(oh_ref[...], ol_ref[...], ah, al)
+        oh_ref[...] = h
+        ol_ref[...] = l
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_per_step", "G", "n_steps",
+                                    "interpret"))
+def _df64_chunk_sums(step_window, x2h, x2l, vhi, vlo, cell_idx, route, *,
+                     tiles_per_step: int, G: int, n_steps: int,
+                     interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..pack.gather_stream import CHUNK as _C, LANES as _L
+    n_tiles = n_steps * tiles_per_step
+    rows_per_step = tiles_per_step * _C
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((_C * G, _L), lambda i, sw: (sw[i], 0)),
+            pl.BlockSpec((_C * G, _L), lambda i, sw: (sw[i], 0)),
+            pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tiles_per_step, _L), lambda i, sw: (i, 0)),
+            pl.BlockSpec((tiles_per_step, _L), lambda i, sw: (i, 0)),
+        ],
+    )
+    kernel = functools.partial(_df64_spmv_kernel,
+                               tiles_per_step=tiles_per_step, G=G)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, _L), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, _L), jnp.float32)],
+        interpret=interpret,
+    )(step_window, x2h, x2l, vhi, vlo, cell_idx, route)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_per_step", "G", "n_steps", "nw",
+                                    "n_out_tiles", "interpret"))
+def _df64_final_sums(step_meta, x2h, x2l, cell_idx, route, *,
+                     tiles_per_step: int, G: int, n_steps: int, nw: int,
+                     n_out_tiles: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..pack.gather_stream import CHUNK as _C, LANES as _L
+    rows_per_step = tiles_per_step * _C
+
+    def win_spec(b):
+        return pl.BlockSpec((_C * G, _L), lambda i, sw, b=b: (sw[i, b], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[win_spec(b) for b in range(nw)]
+        + [win_spec(b) for b in range(nw)]
+        + [pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
+           pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tiles_per_step, _L),
+                         lambda i, sw: (sw[i, nw + 1], 0)),
+            pl.BlockSpec((tiles_per_step, _L),
+                         lambda i, sw: (sw[i, nw + 1], 0)),
+        ],
+    )
+    kernel = functools.partial(_df64_final_kernel,
+                               tiles_per_step=tiles_per_step, G=G, nw=nw)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_out_tiles, _L), jnp.float32),
+                   jax.ShapeDtypeStruct((n_out_tiles, _L), jnp.float32)],
+        interpret=interpret,
+    )(step_meta, *([x2h] * nw), *([x2l] * nw), cell_idx, route)
+
+
+class DF64GStreamDevice:
+    """Device-resident f64-emulated packed matrix: one metadata set
+    (cells/routes/chunk map), two f32 value planes (hi, lo), df64 kernels
+    end-to-end.  The reference's DOUBLE=1 build (util.h:18-26), at packed-
+    kernel speed instead of the XLA COO fallback."""
+
+    def __init__(self, matrix, interpret: bool = False):
+        from ..pack.gather_stream import pack_gstream, STRIPE
+        from .spmv_pallas import _FinalLevel
+        self.interpret = interpret
+        packed = pack_gstream(matrix, value_dtype=np.float64,
+                              use_native=False)
+        self.meta = packed
+        vhi = packed.values.astype(np.float32)
+        vlo = (packed.values - vhi.astype(np.float64)).astype(np.float32)
+        self.vhi = jnp.asarray(vhi)
+        self.vlo = jnp.asarray(vlo)
+        self.cell_idx = jnp.asarray(packed.cell_idx)
+        self.route = jnp.asarray(packed.route)
+        self.step_window = jnp.asarray(packed.step_window)
+        chunk_row = packed.chunk_row.reshape(-1).astype(np.int64)
+        self.final = _FinalLevel.build(chunk_row, packed.nr_rows,
+                                       interpret)
+        self.chunk_row = (jnp.asarray(chunk_row.astype(np.int32))
+                          if self.final is None else None)
+        self._cr_np = chunk_row
+        if self.final is not None and self.final.spill_pos is not None:
+            sr = np.asarray(self.final.spill_row)
+            sp = np.asarray(self.final.spill_pos)
+            order = np.argsort(sr, kind="stable")
+            self._spill_rows_sorted = jnp.asarray(sr[order])
+            self._spill_pos_sorted = jnp.asarray(sp[order])
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float64)
+
+    def prepare_x(self, x):
+        from ..pack.gather_stream import STRIPE
+        xhi, xlo = split_f64(np.asarray(x, np.float64))
+        pad = self.meta.padded_cols - self.meta.nr_cols
+        if pad:
+            xhi = np.pad(xhi, (0, pad))
+            xlo = np.pad(xlo, (0, pad))
+        return (jnp.asarray(xhi.reshape(-1, STRIPE)),
+                jnp.asarray(xlo.reshape(-1, STRIPE)))
+
+    def spmv(self, x, x_is_packed: bool = False):
+        """Returns (y_hi, y_lo) f32 device arrays; join with join_f64."""
+        from ..pack.gather_stream import STRIPE
+        x2h, x2l = x if x_is_packed else self.prepare_x(x)
+        ch, cl = _df64_chunk_sums(
+            self.step_window, x2h, x2l, self.vhi, self.vlo,
+            self.cell_idx, self.route,
+            tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
+            n_steps=self.meta.n_steps, interpret=self.interpret)
+        if self.final is None:
+            # XLA fallback: hi and lo summed separately (compensation
+            # across chunks degrades to f32 here; pathological case only)
+            from .spmv_xla import spmv_chunked_xla
+            yh = spmv_chunked_xla(ch.reshape(-1), self.chunk_row,
+                                  self.meta.nr_rows)
+            yl = spmv_chunked_xla(cl.reshape(-1), self.chunk_row,
+                                  self.meta.nr_rows)
+            return yh, yl
+        f = self.final
+        need = f.x_pad_rows * STRIPE
+        fh = ch.reshape(-1)
+        fl = cl.reshape(-1)
+        if fh.shape[0] < need:
+            fh = jnp.pad(fh, (0, need - fh.shape[0]))
+            fl = jnp.pad(fl, (0, need - fl.shape[0]))
+        gh, gl = _df64_final_sums(
+            f.step_meta, fh[:need].reshape(-1, STRIPE),
+            fl[:need].reshape(-1, STRIPE), f.cell_idx, f.route,
+            tiles_per_step=f.tiles_per_step, G=f.G, n_steps=f.n_steps,
+            nw=f.nw, n_out_tiles=f.nt_pad, interpret=self.interpret)
+        yh = gh.reshape(-1)[:self.meta.nr_rows]
+        yl = gl.reshape(-1)[:self.meta.nr_rows]
+        if f.spill_pos is not None:
+            # compensated spill path: df64 segmented scan over the (row-
+            # sorted) spills, then a df64 combine at the touched rows — a
+            # plain f32 scatter-add here costs spilled rows their
+            # compensation (measured: 1e-13 -> 1e-6 on those rows)
+            rows = self._spill_rows_sorted
+            pos = self._spill_pos_sorted
+            sh = jnp.take(ch.reshape(-1), pos, mode="clip")
+            sl_ = jnp.take(cl.reshape(-1), pos, mode="clip")
+            first = jnp.concatenate([jnp.ones((1,), bool),
+                                     rows[1:] != rows[:-1]])
+
+            def comb(a, b):
+                fa, ha, la = a
+                fb, hb, lb = b
+                h, l = df64_add(ha, la, hb, lb)
+                return (fa | fb, jnp.where(fb, hb, h),
+                        jnp.where(fb, lb, l))
+
+            _, th, tl = jax.lax.associative_scan(comb, (first, sh, sl_))
+            ends = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+            tgt = jnp.where(ends, rows, self.meta.nr_rows)
+            uh = jnp.take(yh, tgt, mode="clip")
+            ul = jnp.take(yl, tgt, mode="clip")
+            nh, nl = df64_add(uh, ul, th, tl)
+            yh = yh.at[tgt].set(nh, mode="drop")
+            yl = yl.at[tgt].set(nl, mode="drop")
+        return yh, yl
+
+    def spmv_f64(self, x) -> np.ndarray:
+        yh, yl = self.spmv(x)
+        return join_f64(np.asarray(yh), np.asarray(yl))

@@ -54,3 +54,32 @@ def test_df64_random():
     x = np.random.default_rng(2).standard_normal(400)
     yd = spmv_f64_emulated(m, x)
     assert verification(spmv_gold(m, x), yd, diff_thres=1e-5) == 0
+
+
+def test_df64_gstream_device_accuracy():
+    """The packed df64 device (TwoProd + df64-tree kernels) reaches ~2^-48
+    relative accuracy where plain f32 sits at 2^-24."""
+    from sparsetpu.formats.random import random_csr
+    from sparsetpu.kernels.f64emu import DF64GStreamDevice
+
+    m = random_csr(1500, 2000, density=0.01, seed=7)  # float64 values
+    x = np.random.default_rng(1).standard_normal(2000)
+    gold = m.to_scipy().astype(np.float64) @ x
+    d = DF64GStreamDevice(m, interpret=True)
+    y = d.spmv_f64(x)
+    assert np.abs(y - gold).max() < 1e-11
+
+
+def test_api_f64_dtype_routes_to_df64():
+    """SparseMatrix honors a float64 matrix dtype: results are float64 and
+    beyond f32 accuracy (the reference's DOUBLE=1 default, util.h:18-26)."""
+    from sparsetpu.api.api import SparseMatrix
+    from sparsetpu.formats.random import random_csr
+
+    m = random_csr(800, 1200, density=0.02, seed=8)
+    x = np.random.default_rng(2).standard_normal(1200)
+    gold = m.to_scipy().astype(np.float64) @ x
+    sm = SparseMatrix(m, interpret=True)
+    y = sm.spmv(x)
+    assert y.dtype == np.float64
+    assert np.abs(y - gold).max() < 1e-11

@@ -75,7 +75,8 @@ def test_finish_final_level_active():
     """A moderate matrix is reduced entirely by the fixed-position final
     level: no F levels, no XLA fallback, few spills."""
     from sparsetpu.formats import random_csr, spmv_gold, verification
-    m = random_csr(1500, 1500, density=0.03, seed=60)  # ~45 nnz/row
+    m = random_csr(1500, 1500, density=0.03, seed=60,
+                   dtype=np.float32)  # ~45 nnz/row
     sm = SparseMatrix(m, backend="pallas", interpret=True)
     dev = sm._device
     assert dev.final is not None, "expected the final reduction level"
