@@ -151,10 +151,21 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
                 return max(med, 1e-9)
             n_hi *= 4
 
-    total_s = measure(lambda op, xi: op.spmv_packed_x(xi), sm, xp)
+    is_double = backend == "pallas" and cfg.is_double
+    if is_double:
+        # time the device (yh, yl) path; the f64 join happens host-side
+        x2h, x2l = xp
+
+        def df64_call(op, xi):
+            dev, xl = op
+            yh, yl = dev.spmv((xi, xl), x_is_packed=True)
+            return yh + yl * 0.0
+        total_s = measure(df64_call, (sm._device, x2l), x2h)
+    else:
+        total_s = measure(lambda op, xi: op.spmv_packed_x(xi), sm, xp)
 
     kernel_s = finish_s = float("nan")
-    if backend == "pallas" and sm._device is not None:
+    if backend == "pallas" and not is_double and sm._device is not None:
         from ..kernels.spmv_pallas import _gstream_chunk_sums
 
         def kernel_only(op, xi):
@@ -163,6 +174,19 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
                 tiles_per_step=op.meta.tiles_per_step, G=op.meta.G,
                 n_steps=op.meta.n_steps, interpret=op.interpret)
         kernel_s = measure(kernel_only, sm._device, xp)
+        finish_s = max(total_s - kernel_s, 0.0)
+    elif is_double:
+        from ..kernels.f64emu import _df64_chunk_sums
+
+        def kernel_only(op, xi):
+            dev, xl = op
+            ch, cl = _df64_chunk_sums(
+                dev.step_window, xi, xl, dev.vhi, dev.vlo, dev.cell_idx,
+                dev.route, tiles_per_step=dev.meta.tiles_per_step,
+                G=dev.meta.G, n_steps=dev.meta.n_steps,
+                interpret=dev.interpret)
+            return ch + cl * 0.0
+        kernel_s = measure(kernel_only, (sm._device, xp[1]), xp[0])
         finish_s = max(total_s - kernel_s, 0.0)
 
     atol, rtol = default_tolerance(sm.dtype,

@@ -1,0 +1,122 @@
+"""Weak-scaling efficiency report: nnz/s at 1, 2, ..., N devices.
+
+The BASELINE protocol asks for nnz/s scaling efficiency at 1 chip, 1 host
+and N >= 2 hosts with the x-vector gathered over ICI.  This harness runs
+the mesh-sharded SpMV (dist/spmv_dist.py) at each device count with
+constant work per device (weak scaling) and reports throughput and
+efficiency vs the 1-device run.
+
+On real multi-chip hardware it measures the actual ICI path.  On a single
+chip it degrades to the P=1 row; with JAX_PLATFORMS=cpu and
+--xla_force_host_platform_device_count=N it exercises the full SPMD
+program (all-gather + per-shard kernel + finish) on a simulated mesh —
+numbers there validate the protocol and the collectives, not TPU time.
+
+Usage:  python -m sparsetpu.bench.scaling [--rows-per-dev 50000]
+        [--nnz-per-row 32] [--devices 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _measure(sh, x, on_tpu: bool) -> float:
+    """Per-call seconds via the chained differential loop (see
+    bench/micro.timeit_chained for why host timing needs this)."""
+    import jax
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x, dtype=jnp.float32)
+    n_hi, n_lo = (64, 4) if on_tpu else (6, 2)
+
+    def build(k):
+        @jax.jit
+        def loop(xi):
+            def body(i, carry):
+                xc, acc = carry
+                y = sh.spmv(xc)
+                return (xc + y[0] * 1e-30, acc + y[0])
+            return jax.lax.fori_loop(0, k, body, (xi, jnp.float32(0)))[1]
+        return loop
+
+    # note: sh's arrays are sharded jax.Arrays; they reach the jit as
+    # closure constants but XLA keeps sharded arrays as parameters
+    ln, lb = build(n_hi), build(n_lo)
+    float(ln(xj)), float(lb(xj))
+    diffs = []
+    for r in range(3):
+        xr = xj + jnp.float32(1e-6 * (r + 1))
+        t0 = time.perf_counter()
+        float(lb(xr))
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(ln(xr))
+        tn = time.perf_counter() - t0
+        diffs.append((tn - tb) / (n_hi - n_lo))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-9)
+
+
+def scaling_report(rows_per_dev: int = 50_000, nnz_per_row: int = 32,
+                   max_devices: int = None, verbose: bool = True):
+    import jax
+    import numpy as np
+    from ..dist.spmv_dist import make_mesh, shard_spmv
+    from ..formats.gold import spmv_gold, verification
+    from ..formats.random import random_csr
+
+    devs = jax.devices()
+    n = len(devs) if max_devices is None else min(max_devices, len(devs))
+    on_tpu = jax.default_backend() == "tpu"
+    counts = [p for p in (1, 2, 4, 8, 16, 32) if p <= n]
+    interpret = False if on_tpu else "xla"
+
+    rows = []
+    base = None
+    for p in counts:
+        r = rows_per_dev * p
+        c = r
+        m = random_csr(r, c, density=nnz_per_row / c, seed=11,
+                       dtype=np.float32)
+        mesh = make_mesh(p)
+        sh = shard_spmv(m, mesh, interpret=interpret)
+        x = np.random.default_rng(4).standard_normal(c)
+        y = np.asarray(sh.spmv(x))
+        errs = verification(spmv_gold(m, x), y, diff_thres=1e-3,
+                            rel_thres=1e-3)
+        t = _measure(sh, x, on_tpu)
+        gnnz = m.nr_nzeros / t / 1e9
+        if base is None:
+            base = gnnz
+        eff = gnnz / (base * p)
+        rows.append({"devices": p, "rows": r, "nnz": m.nr_nzeros,
+                     "gnnz_s": round(gnnz, 3),
+                     "weak_scaling_eff": round(eff, 3),
+                     "verify_errors": int(errs)})
+        if verbose:
+            print(f"P={p:3d}  rows={r:9d}  {gnnz:8.3f} Gnnz/s  "
+                  f"eff={eff:6.1%}  verify="
+                  f"{'PASS' if errs == 0 else 'FAIL'}", flush=True)
+    return {"backend": jax.default_backend(), "weak_scaling": rows}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sparsetpu.bench.scaling")
+    ap.add_argument("--rows-per-dev", type=int, default=50_000)
+    ap.add_argument("--nnz-per-row", type=int, default=32)
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+    rep = scaling_report(args.rows_per_dev, args.nnz_per_row, args.devices,
+                         verbose=not args.json)
+    if args.json:
+        print(json.dumps(rep))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

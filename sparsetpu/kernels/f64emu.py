@@ -420,3 +420,28 @@ class DF64GStreamDevice:
     def spmv_f64(self, x) -> np.ndarray:
         yh, yl = self.spmv(x)
         return join_f64(np.asarray(yh), np.asarray(yl))
+
+
+# --- pytree registration (see sparsetpu/kernels/spmv_pallas.py note) --------
+
+def _df64_flatten(d):
+    return ((d.vhi, d.vlo, d.cell_idx, d.route, d.step_window, d.final,
+             d.chunk_row, getattr(d, "_spill_rows_sorted", None),
+             getattr(d, "_spill_pos_sorted", None)),
+            (d.meta, d.interpret, d._cr_np is None))
+
+
+def _df64_unflatten(aux, children):
+    d = object.__new__(DF64GStreamDevice)
+    d.meta, d.interpret, _ = aux
+    (d.vhi, d.vlo, d.cell_idx, d.route, d.step_window, d.final,
+     d.chunk_row, sr, sp) = children
+    d._cr_np = None
+    if sr is not None:
+        d._spill_rows_sorted = sr
+        d._spill_pos_sorted = sp
+    return d
+
+
+jax.tree_util.register_pytree_node(DF64GStreamDevice, _df64_flatten,
+                                   _df64_unflatten)
