@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("pallas", "xla"))
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--verbose", "-v", action="count", default=0)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the benchmark "
+                        "into DIR (view with tensorboard / xprof)")
     return p
 
 
@@ -67,8 +70,15 @@ def main(argv=None) -> int:
 
     cfg = SpmvConfig(dtype=dtype, vf=args.vf,
                      num_partitions=args.partitions)
-    result = bench_spmv(matrix, name=name, config=cfg,
-                        repeats=args.repeats, backend=args.backend)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            result = bench_spmv(matrix, name=name, config=cfg,
+                                repeats=args.repeats, backend=args.backend)
+        print(f"profiler trace written to {args.profile}")
+    else:
+        result = bench_spmv(matrix, name=name, config=cfg,
+                            repeats=args.repeats, backend=args.backend)
     print(result.report())
     return 0 if result.verify_errors == 0 else 1
 

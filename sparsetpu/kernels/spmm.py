@@ -94,6 +94,88 @@ def spmm_gstream(device, x_multi) -> jax.Array:
         device.step_window, x3, device.values, device.cell_idx,
         device.route, tiles_per_step=meta.tiles_per_step, G=meta.G,
         n_steps=meta.n_steps, k=k, interpret=device.interpret)
-    # finish each plane through the shared reduction
+    # fused multi-plane finish: one metadata fetch serves all k planes
+    if device.final is not None and not device.finish:
+        return _final_gather_sums_multi(device.final, cs, meta.nr_rows)
     return jnp.stack([device.finish_vec(cs[kk]) for kk in range(k)],
                      axis=1)
+
+
+def _final_multi_kernel(sw_ref, *refs, tiles_per_step: int, G: int,
+                        nw: int, k: int):
+    """Multi-plane variant of the final gather-accumulate level (see
+    spmv_pallas._final_kernel): nw window specs of shape (k, 8G, 128),
+    out block (k, tps, 128)."""
+    xw_refs = refs[:nw]
+    cell_ref, route_ref, out_ref = refs[nw:]
+    i = pl.program_id(0)
+    first = sw_ref[i, nw] == 1
+    accs = []
+    for kk in range(k):
+        parts = []
+        for t in range(tiles_per_step):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            i1 = cell_ref[sl, :].astype(jnp.int32)
+            j = route_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+            g1 = jnp.zeros((CHUNK, LANES), dtype=out_ref.dtype)
+            for w in range(nw):
+                for g in range(G):
+                    part = jnp.take_along_axis(
+                        xw_refs[w][kk, g * CHUNK:(g + 1) * CHUNK, :], sub,
+                        axis=0)
+                    g1 = jnp.where(grp == w * G + g, part, g1)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            parts.append(jnp.sum(g2, axis=0))
+        accs.append(jnp.stack(parts, axis=0))
+    acc = jnp.stack(accs, axis=0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] = out_ref[...] + acc
+
+
+def _final_gather_sums_multi(fin, cs, nr_rows: int) -> jax.Array:
+    """Apply a _FinalLevel to (k, n_positions/128, 128) chunk-sum planes;
+    returns (nr_rows, k)."""
+    k = int(cs.shape[0])
+    flat = cs.reshape(k, -1)
+    need = fin.x_pad_rows * STRIPE
+    if flat.shape[1] < need:
+        flat = jnp.pad(flat, ((0, 0), (0, need - flat.shape[1])))
+    x3 = flat[:, :need].reshape(k, -1, STRIPE)
+    tps, G, nw = fin.tiles_per_step, fin.G, fin.nw
+    rows_per_step = tps * CHUNK
+
+    def win_spec(b):
+        return pl.BlockSpec((k, CHUNK * G, LANES),
+                            lambda i, sw, b=b: (0, sw[i, b], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(fin.n_steps,),
+        in_specs=[win_spec(b) for b in range(nw)] + [
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((k, tps, LANES),
+                               lambda i, sw: (0, sw[i, nw + 1], 0)),
+    )
+    kernel = functools.partial(_final_multi_kernel, tiles_per_step=tps,
+                               G=G, nw=nw, k=k)
+    grid = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, fin.nt_pad, LANES), cs.dtype),
+        interpret=fin.interpret,
+    )(fin.step_meta, *([x3] * nw), fin.cell_idx, fin.route)
+    y = grid.reshape(k, -1)[:, :nr_rows]
+    if fin.spill_pos is not None:
+        adds = jnp.take(cs.reshape(k, -1), fin.spill_pos, axis=1,
+                        mode="clip")
+        y = y.at[:, fin.spill_row].add(adds, mode="drop")
+    return y.T

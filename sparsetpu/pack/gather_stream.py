@@ -317,9 +317,17 @@ def _choose_G(matrix: CSRMatrix) -> int:
         return min(MAX_G, need)
     w0 = 4 * CHUNK * STRIPE                     # finest candidate window
     nb0 = -(-matrix.nr_cols // w0)
-    rows_all = np.repeat(np.arange(matrix.nr_rows, dtype=np.int64),
-                         matrix.row_nnz())
-    key = rows_all * nb0 + matrix.col_ind.astype(np.int64) // w0
+    # sample a row prefix (~2M nnz) — the histogram shape, not its scale,
+    # drives the choice
+    end_row = matrix.nr_rows
+    if matrix.nr_nzeros > 2_000_000:
+        end_row = int(np.searchsorted(matrix.row_ptr, 2_000_000))
+        end_row = max(1, min(end_row, matrix.nr_rows))
+    end_nnz = int(matrix.row_ptr[end_row])
+    rows_all = np.repeat(np.arange(end_row, dtype=np.int64),
+                         np.diff(matrix.row_ptr[:end_row + 1]).astype(
+                             np.int64))
+    key = rows_all * nb0 + matrix.col_ind[:end_nnz].astype(np.int64) // w0
     uk, counts = np.unique(key, return_counts=True)
     urow, uw = uk // nb0, uk % nb0
     best_g, best_t = None, None
