@@ -32,3 +32,91 @@ def load_gstream(path: str) -> GStreamMatrix:
         nr_rows=int(meta[0]), nr_cols=int(meta[1]), nr_nzeros=int(meta[2]),
         G=int(meta[3]), tiles_per_step=int(meta[4]),
         padded_cols=int(meta[5]))
+
+
+def save_device(path: str, device) -> None:
+    """Checkpoint a GStreamDevice including its finish (F levels + final),
+    so a resume pays neither the repack nor the reduction build."""
+    arrs = {
+        "values": np.asarray(device.values),
+        "cell_idx": np.asarray(device.cell_idx),
+        "route": np.asarray(device.route),
+        "step_window": np.asarray(device.step_window),
+        "chunk_row": device.meta.chunk_row,
+        "meta": np.array([device.meta.nr_rows, device.meta.nr_cols,
+                          device.meta.nr_nzeros, device.meta.G,
+                          device.meta.tiles_per_step,
+                          device.meta.padded_cols], dtype=np.int64),
+        "n_flevels": np.array([len(device.finish)]),
+    }
+    for i, f in enumerate(device.finish):
+        fp = f.meta
+        arrs[f"f{i}_values"] = fp.values
+        arrs[f"f{i}_cell"] = fp.cell_idx
+        arrs[f"f{i}_route"] = fp.route
+        arrs[f"f{i}_chunk_row"] = fp.chunk_row
+        arrs[f"f{i}_step_window"] = fp.step_window
+        arrs[f"f{i}_meta"] = np.array(
+            [fp.nr_rows, fp.nr_cols, fp.nr_nzeros, fp.G,
+             fp.tiles_per_step, fp.padded_cols], dtype=np.int64)
+    fin = device.final
+    if fin is not None:
+        arrs["fin_step_meta"] = np.asarray(fin.step_meta)
+        arrs["fin_cell"] = np.asarray(fin.cell_idx)
+        arrs["fin_route"] = np.asarray(fin.route)
+        arrs["fin_static"] = np.array(
+            [fin.n_steps, fin.tiles_per_step, fin.G, fin.nw, fin.nt_pad,
+             fin.x_pad_rows, fin.n_spills], dtype=np.int64)
+        if fin.spill_pos is not None:
+            arrs["fin_spill_pos"] = np.asarray(fin.spill_pos)
+            arrs["fin_spill_row"] = np.asarray(fin.spill_row)
+    else:
+        arrs["fallback_chunk_row"] = np.asarray(device.chunk_row)
+    np.savez_compressed(path, **arrs)
+
+
+def load_device(path: str, interpret: bool = False):
+    """Restore a GStreamDevice checkpoint written by save_device."""
+    import jax.numpy as jnp
+    from ..kernels.spmv_pallas import (GStreamDevice, _FinalLevel,
+                                       _FLevel)
+
+    z = np.load(path)
+    meta = z["meta"]
+
+    def gs(prefix=""):
+        mm = z[f"{prefix}meta"]
+        return GStreamMatrix(
+            values=z[f"{prefix}values"], cell_idx=z[f"{prefix}cell_idx"
+                                                    if not prefix
+                                                    else f"{prefix}cell"],
+            route=z[f"{prefix}route"], chunk_row=z[f"{prefix}chunk_row"],
+            step_window=z[f"{prefix}step_window"],
+            nr_rows=int(mm[0]), nr_cols=int(mm[1]), nr_nzeros=int(mm[2]),
+            G=int(mm[3]), tiles_per_step=int(mm[4]),
+            padded_cols=int(mm[5]))
+
+    d = object.__new__(GStreamDevice)
+    d.meta = gs()
+    d.interpret = interpret
+    d.values = jnp.asarray(z["values"])
+    d.cell_idx = jnp.asarray(z["cell_idx"])
+    d.route = jnp.asarray(z["route"])
+    d.step_window = jnp.asarray(z["step_window"])
+    d.finish = []
+    for i in range(int(z["n_flevels"][0])):
+        d.finish.append(_FLevel(gs(f"f{i}_"), interpret))
+    if "fin_static" in z:
+        s = z["fin_static"]
+        sp = z["fin_spill_pos"] if "fin_spill_pos" in z else \
+            np.zeros(0, np.int32)
+        sr = z["fin_spill_row"] if "fin_spill_row" in z else \
+            np.zeros(0, np.int32)
+        d.final = _FinalLevel(z["fin_step_meta"], z["fin_cell"],
+                              z["fin_route"], int(s[0]), int(s[1]),
+                              int(s[2]), int(s[3]), int(s[4]), int(s[5]),
+                              sp, sr, interpret)
+    else:
+        d.final = None
+        d.chunk_row = jnp.asarray(z["fallback_chunk_row"])
+    return d

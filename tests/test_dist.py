@@ -68,3 +68,29 @@ def test_entry_compiles():
     fn, args = mod.entry()
     y = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@requires_devices
+@pytest.mark.parametrize("interpret", ["xla", True])
+def test_ring_overlapped_spmv(interpret):
+    """Ring schedule: x segments rotate via ppermute while each shard
+    multiplies its matching column block (BASELINE's overlap north star)."""
+    from sparsetpu.dist.ring import ring_shard_spmv
+    m = random_csr(1200, 4000, density=0.01, seed=22, dtype=np.float32)
+    mesh = make_mesh(8)
+    sh = ring_shard_spmv(m, mesh, interpret=interpret)
+    x = np.random.default_rng(9).standard_normal(m.nr_cols)
+    y = np.asarray(sh.spmv(x))
+    assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
+                        rel_thres=1e-3) == 0
+
+
+@requires_devices
+def test_ring_matches_allgather_schedule():
+    from sparsetpu.dist.ring import ring_shard_spmv
+    m = random_csr(600, 2000, density=0.02, seed=23, dtype=np.float32)
+    mesh = make_mesh(8)
+    x = np.random.default_rng(3).standard_normal(m.nr_cols)
+    y1 = np.asarray(shard_spmv(m, mesh, interpret="xla").spmv(x))
+    y2 = np.asarray(ring_shard_spmv(m, mesh, interpret="xla").spmv(x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)

@@ -89,3 +89,21 @@ def test_gstream_duplicate_heavy_column():
     p = pack_gstream(m)
     m2 = unpack_gstream(p)
     assert np.allclose(m.to_dense(), m2.to_dense())
+
+
+def test_device_checkpoint_roundtrip(tmp_path):
+    """save_device/load_device resumes without repack or finish rebuild
+    (the packed matrix is the checkpoint-able artifact, SURVEY.md s5)."""
+    import numpy as np
+    from sparsetpu.api.api import SparseMatrix
+    from sparsetpu.formats import random_csr, spmv_gold, verification
+    from sparsetpu.pack.serialize import load_device, save_device
+
+    m = random_csr(2000, 3000, density=0.01, seed=77, dtype=np.float32)
+    sm = SparseMatrix(m, backend="pallas", interpret=True)
+    path = str(tmp_path / "dev.npz")
+    save_device(path, sm._device)
+    d2 = load_device(path, interpret=True)
+    x = np.random.default_rng(5).standard_normal(m.nr_cols)
+    y = np.asarray(d2.spmv(d2.prepare_x(x), x_is_packed=True))
+    assert verification(spmv_gold(m, x), y, 1e-3, 1e-3) == 0
