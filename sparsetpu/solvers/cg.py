@@ -112,3 +112,69 @@ def power_iteration(spmv, n, iters: int = 50, seed: int = 0):
         return w / jnp.linalg.norm(w)
     v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
     return jnp.vdot(v, spmv(v)), v
+
+
+def pcg(spmv: Callable[[jax.Array], jax.Array], b: jax.Array,
+        m_inv: Callable[[jax.Array], jax.Array],
+        x0: Optional[jax.Array] = None, tol: float = 1e-6,
+        maxiter: int = 1000) -> CGResult:
+    """Preconditioned CG: ``m_inv`` applies the preconditioner inverse
+    (e.g. ``jacobi_preconditioner(A)``).  Same fixed-shape while_loop
+    structure as ``cg``."""
+    b = jnp.asarray(b, jnp.float32)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float32)
+    r = b - spmv(x)
+    z = m_inv(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+
+    def cond(st):
+        _, r, _, _, k = st
+        return jnp.logical_and(jnp.linalg.norm(r) / bnorm > tol,
+                               k < maxiter)
+
+    def body(st):
+        x, r, p, rz, k = st
+        ap = spmv(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = m_inv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x, r, p, rz,
+                                                    jnp.int32(0)))
+    return CGResult(x=x, iterations=k, residual_norm=jnp.linalg.norm(r))
+
+
+def jacobi_preconditioner(matrix) -> Callable[[jax.Array], jax.Array]:
+    """Diagonal (Jacobi) preconditioner from a CSRMatrix: z = r / diag(A).
+
+    Zero / missing diagonal entries fall back to 1 (identity on those
+    rows)."""
+    import numpy as np
+    n = matrix.nr_rows
+    diag = np.zeros(n, dtype=np.float64)
+    rows = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(matrix.row_ptr).astype(np.int64))
+    on_diag = rows == matrix.col_ind
+    np.add.at(diag, rows[on_diag], matrix.values[on_diag])
+    diag = np.where(diag == 0.0, 1.0, diag)
+    inv = jnp.asarray((1.0 / diag).astype(np.float32))
+    return lambda r: r * inv
+
+
+def jacobi_iteration(spmv, matrix, b, iters: int = 100, omega: float = 1.0):
+    """Weighted Jacobi relaxation x_{k+1} = x_k + omega D^-1 (b - A x_k)
+    (smoother / simple stationary solver on the packed SpMV)."""
+    m_inv = jacobi_preconditioner(matrix)
+    b = jnp.asarray(b, jnp.float32)
+
+    def body(_, x):
+        return x + omega * m_inv(b - spmv(x))
+
+    return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(b))

@@ -46,3 +46,44 @@ def test_power_iteration():
     lam, v = power_iteration(spmv, m.nr_rows, iters=200)
     w = np.linalg.eigvalsh(m.to_dense())
     assert abs(float(lam) - w[-1]) < 1e-2 * abs(w[-1])
+
+
+def test_pcg_jacobi_converges_faster():
+    """Jacobi-preconditioned CG on an ill-scaled SPD system converges in
+    fewer iterations than plain CG."""
+    import numpy as np
+    from sparsetpu.api.api import SparseMatrix
+    from sparsetpu.formats.csr import CSRMatrix
+    from sparsetpu.formats.random import laplace_2d
+    from sparsetpu.solvers.cg import cg, jacobi_preconditioner, pcg
+
+    base = laplace_2d(24)
+    # scale rows/cols to worsen conditioning
+    n = base.nr_rows
+    s = np.exp(np.linspace(0, 4, n))
+    sp = base.to_scipy().astype(np.float64)
+    import scipy.sparse as ssp
+    d = ssp.diags(s)
+    m = CSRMatrix.from_scipy((d @ sp @ d).tocsr().astype(np.float32))
+    A = SparseMatrix(m, interpret=True)
+    b = np.ones(n, np.float32)
+    r1 = cg(A.spmv, b, tol=1e-5, maxiter=3000)
+    r2 = pcg(A.spmv, b, jacobi_preconditioner(m), tol=1e-5, maxiter=3000)
+    assert int(r2.iterations) < int(r1.iterations)
+    assert float(r2.residual_norm) < 1e-4 * np.linalg.norm(b)
+
+
+def test_jacobi_iteration_reduces_residual():
+    import numpy as np
+    from sparsetpu.api.api import SparseMatrix
+    from sparsetpu.formats.random import laplace_2d
+    from sparsetpu.solvers.cg import jacobi_iteration
+
+    m = laplace_2d(16)
+    import numpy as _np
+    m.values = m.values.astype(_np.float32)
+    A = SparseMatrix(m, interpret=True)
+    b = np.ones(m.nr_rows, np.float32)
+    x = np.asarray(jacobi_iteration(A.spmv, m, b, iters=200, omega=0.6))
+    res = np.linalg.norm(b - np.asarray(A.spmv(x)))
+    assert res < 0.5 * np.linalg.norm(b)
