@@ -461,6 +461,12 @@ class _FinalLevel:
                     nw, G_u, tps, nt_pad, rows_all, pos_all, n_children):
         from ..pack.gather_stream import _match_tiles
 
+        native = cls._build_native(chunk_row, nr_rows, interpret,
+                                   max_spill_frac, nw, G_u, tps, nt_pad,
+                                   rows_all, pos_all, n_children)
+        if native is not None:
+            return native
+
         win = G_u * 1024
         R = nt_pad * LANES
         n_blocks = nt_pad // tps
@@ -553,6 +559,35 @@ class _FinalLevel:
                    n_steps, tps, G_u, nw, nt_pad, x_pad_rows,
                    pos_all[rem].astype(np.int32),
                    rows_all[rem].astype(np.int32), interpret)
+
+    @classmethod
+    def _build_native(cls, chunk_row, nr_rows, interpret, max_spill_frac,
+                      nw, G_u, tps, nt_pad, rows_all, pos_all,
+                      n_children):
+        """C++ builder (native/final_builder.cpp): assignment + residue
+        matching + materialization in one sequential pass.  Returns None
+        (falling back to the NumPy builder) when the library is absent or
+        spills exceed the budget."""
+        try:
+            from ..native.final import available, final_build_native
+            if not available():
+                return None
+        except Exception:
+            return None
+        order = np.argsort(rows_all, kind="stable")
+        step_meta, cells, route, spill_pos, spill_row = final_build_native(
+            rows_all[order].astype(np.int32), pos_all[order],
+            nt_pad, tps, G_u, nw)
+        if n_children and spill_pos.shape[0] / n_children > max_spill_frac:
+            return None
+        n_steps = step_meta.shape[0]
+        w_max = int(step_meta[:, :nw].max()) if n_steps else 0
+        x_pad_rows = (w_max + 1) * CHUNK * G_u
+        x_pad_rows = max(x_pad_rows,
+                         -(-int(chunk_row.shape[0]) // STRIPE))
+        x_pad_rows = -(-x_pad_rows // (CHUNK * G_u)) * (CHUNK * G_u)
+        return cls(step_meta, cells, route, n_steps, tps, G_u, nw, nt_pad,
+                   x_pad_rows, spill_pos, spill_row, interpret)
 
     def apply(self, vec: jax.Array, nr_rows: int) -> jax.Array:
         """vec: flat combined chunk-sum vector -> y (nr_rows,)."""

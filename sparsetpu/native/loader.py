@@ -17,7 +17,16 @@ _LIB_NAME = "libsparsetpu_native.so"
 def _lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(__file__), _LIB_NAME)
+        here = os.path.dirname(__file__)
+        path = os.path.join(here, _LIB_NAME)
+        if not os.path.exists(path):
+            # first use on a fresh checkout: build in place
+            import subprocess
+            try:
+                subprocess.run(["make", "-C", here], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"{_LIB_NAME} not built; run `make -C sparsetpu/native`")
