@@ -418,8 +418,32 @@ class _FinalLevel:
                 + o_of[p_of > 0]))
             n_inst = n_blk + extra
             return scale * (n_inst * tps * (3.0 + 0.6 * nw_c * G_u)
-                            + n_inst * (100.0 + 6.0 * nw_c * G_u)
+                            + n_inst * (50.0 + 6.0 * nw_c * G_u)
                             + 8.0 * spills)
+
+        full_builds = {}    # (nw, G, tps) -> full-set native arrays
+
+        def eval_native(rows_c, pos_c, nw_c, G_u, tps, row_cap, scale):
+            from ..native.final import final_build_native
+            ntp = max(1, -(-row_cap // (LANES * tps))) * tps
+            order = np.argsort(rows_c, kind="stable")
+            built = final_build_native(
+                rows_c[order].astype(np.int32), pos_c[order], ntp, tps,
+                G_u, nw_c)
+            if row_cap >= nr_rows:
+                full_builds[(nw_c, G_u, tps)] = built
+            meta, _, _, sp, _ = built
+            n_inst = meta.shape[0]
+            return scale * (n_inst * tps * (3.0 + 0.6 * nw_c * G_u)
+                            + n_inst * (50.0 + 6.0 * nw_c * G_u)
+                            + 8.0 * sp.shape[0])
+
+        try:
+            from ..native.final import available as _nat_avail
+            use_native_eval = _nat_avail()
+        except Exception:
+            use_native_eval = False
+        evaluate = eval_native if use_native_eval else eval_cand
 
         # rank candidates on a row-range subsample, then re-evaluate the
         # leaders on the full children set (subsample spill estimates are
@@ -437,15 +461,15 @@ class _FinalLevel:
                     if tps > max(8, n_tiles) or (tps < 32 and
                                                  n_tiles >= 32):
                         continue
-                    cost = eval_cand(rows_s, pos_s, nw_c, G_u, tps,
-                                     min(sub_rows, nr_rows), scale)
+                    cost = evaluate(rows_s, pos_s, nw_c, G_u, tps,
+                                    min(sub_rows, nr_rows), scale)
                     cands.append((cost, tps, G_u, nw_c))
         if not cands:
             return None
         cands.sort()
         if sub_rows < nr_rows and len(cands) > 1:
-            top = [eval_cand(rows_all, pos_all, nw_c, G_u, tps, nr_rows,
-                             1.0) + 0 * i
+            top = [evaluate(rows_all, pos_all, nw_c, G_u, tps, nr_rows,
+                            1.0) + 0 * i
                    for i, (_, tps, G_u, nw_c) in enumerate(cands[:3])]
             best_i = int(np.argmin(top))
             _, tps, G_u, nw = cands[best_i]
@@ -454,16 +478,19 @@ class _FinalLevel:
         nt_pad = -(-n_tiles // tps) * tps
         return cls._build_with(chunk_row, nr_rows, interpret,
                                max_spill_frac, nw, G_u, tps, nt_pad,
-                               rows_all, pos_all, n_children)
+                               rows_all, pos_all, n_children,
+                               prebuilt=full_builds.get((nw, G_u, tps)))
 
     @classmethod
     def _build_with(cls, chunk_row, nr_rows, interpret, max_spill_frac,
-                    nw, G_u, tps, nt_pad, rows_all, pos_all, n_children):
+                    nw, G_u, tps, nt_pad, rows_all, pos_all, n_children,
+                    prebuilt=None):
         from ..pack.gather_stream import _match_tiles
 
         native = cls._build_native(chunk_row, nr_rows, interpret,
                                    max_spill_frac, nw, G_u, tps, nt_pad,
-                                   rows_all, pos_all, n_children)
+                                   rows_all, pos_all, n_children,
+                                   prebuilt=prebuilt)
         if native is not None:
             return native
 
@@ -563,21 +590,25 @@ class _FinalLevel:
     @classmethod
     def _build_native(cls, chunk_row, nr_rows, interpret, max_spill_frac,
                       nw, G_u, tps, nt_pad, rows_all, pos_all,
-                      n_children):
+                      n_children, prebuilt=None):
         """C++ builder (native/final_builder.cpp): assignment + residue
         matching + materialization in one sequential pass.  Returns None
         (falling back to the NumPy builder) when the library is absent or
         spills exceed the budget."""
-        try:
-            from ..native.final import available, final_build_native
-            if not available():
+        if prebuilt is not None:
+            step_meta, cells, route, spill_pos, spill_row = prebuilt
+        else:
+            try:
+                from ..native.final import available, final_build_native
+                if not available():
+                    return None
+            except Exception:
                 return None
-        except Exception:
-            return None
-        order = np.argsort(rows_all, kind="stable")
-        step_meta, cells, route, spill_pos, spill_row = final_build_native(
-            rows_all[order].astype(np.int32), pos_all[order],
-            nt_pad, tps, G_u, nw)
+            order = np.argsort(rows_all, kind="stable")
+            (step_meta, cells, route,
+             spill_pos, spill_row) = final_build_native(
+                rows_all[order].astype(np.int32), pos_all[order],
+                nt_pad, tps, G_u, nw)
         if n_children and spill_pos.shape[0] / n_children > max_spill_frac:
             return None
         n_steps = step_meta.shape[0]
