@@ -110,6 +110,14 @@ class SparseMatrix:
                             self.nr_rows)
 
     def __matmul__(self, x):
+        if isinstance(x, (SparseMatrix, CSRMatrix)):
+            # sparse @ sparse -> SpGEMM (numeric phase on device)
+            from ..kernels.spgemm import spgemm
+            other = x.unpack() if isinstance(x, SparseMatrix) else x
+            if self._packed is None:
+                raise ValueError("SpGEMM needs the pallas backend")
+            from ..pack.gather_stream import unpack_gstream
+            return spgemm(unpack_gstream(self._packed), other)
         x = jnp.asarray(x)
         if x.ndim == 1:
             return self.spmv(x)

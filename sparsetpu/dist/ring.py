@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.csr import CSRMatrix
 from ..pack.balance import balance_rows
-from ..pack.gather_stream import CHUNK, LANES, STRIPE, pack_gstream
+from ..pack.gather_stream import CHUNK, STRIPE, pack_gstream
 from .spmv_dist import _scatter_rows, _slice_rows
 
 
@@ -179,7 +179,6 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                     interpret=False,
                     tiles_per_step: int = 32) -> RingShardedSpmv:
     """Pack + shard for the ring-overlapped schedule."""
-    from ..kernels.spmv_pallas import _FinalLevel
     from ..pack.gather_stream import _choose_G
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names

@@ -9,7 +9,6 @@ one CG iteration (SpMV + axpys + dot products -> psum over the mesh).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

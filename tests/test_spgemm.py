@@ -61,3 +61,12 @@ def test_spgemm_dimension_mismatch():
     b = random_csr(30, 10, density=0.2, seed=2)
     with pytest.raises(ValueError):
         spgemm(a, b, interpret=True)
+
+
+def test_sparse_at_sparse_operator():
+    from sparsetpu.api.api import SparseMatrix
+    a = random_csr(60, 40, density=0.15, seed=5, dtype=np.float32)
+    b = random_csr(40, 50, density=0.15, seed=6, dtype=np.float32)
+    A = SparseMatrix(a, interpret=True)
+    c = A @ b
+    _assert_csr_close(c, spgemm_gold(a, b))
