@@ -97,6 +97,18 @@ class BSRDevice:
         self.bcol = jnp.asarray(bcol)
         self.brow = jnp.asarray(brow)
         self.padded_cols = -(-self.nr_cols // BW) * BW
+        # block-row reduction as a fixed-position final level: child
+        # (block b, local row i) at position b*8+i belongs to y row
+        # brow[b]*8+i (XLA segment-sum costs ~8 ns/element — it would
+        # dominate the whole BSR SpMV)
+        from .spmv_pallas import _FinalLevel
+        rows_pad = self.nr_block_rows * BH
+        child_row = (np.asarray(brow)[:, None].astype(np.int64) * BH
+                     + np.arange(BH)[None, :]).reshape(-1)
+        child_row[child_row >= rows_pad] = rows_pad
+        self.final = _FinalLevel.build(child_row, rows_pad,
+                                       interpret)
+        self._rows_pad = rows_pad
 
     def spmv(self, x) -> jax.Array:
         x = jnp.asarray(x, jnp.float32)
@@ -113,6 +125,9 @@ class BSRDevice:
         tiles = parts.reshape(self.n_blocks // GROUP, BH, LANES)
         parts8 = tiles[:, :, :GROUP].transpose(0, 2, 1).reshape(
             self.n_blocks, BH)
+        if self.final is not None:
+            y = self.final.apply(parts8.reshape(-1), self._rows_pad)
+            return y[:self.nr_rows]
         ysum = jax.ops.segment_sum(parts8, self.brow,
                                    num_segments=self.nr_block_rows + 1,
                                    indices_are_sorted=True)
