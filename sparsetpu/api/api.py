@@ -58,6 +58,7 @@ class SparseMatrix:
             from ..kernels.f64emu import DF64GStreamDevice
             self._device = DF64GStreamDevice(matrix, interpret=interpret)
             self._packed = self._device.meta
+            self._source = matrix   # unpack of the hi plane would lose lo
         elif self._backend == "pallas":
             self._packed = pack_gstream(matrix, self.config,
                                         value_dtype=np.float32)
@@ -142,9 +143,24 @@ class SparseMatrix:
         return self.spmv(x_packed)
 
     def unpack(self) -> CSRMatrix:
+        if getattr(self, "_source", None) is not None:
+            return self._source
         if self._packed is None:
             raise ValueError("XLA-backend matrix: keep the original CSR")
         return unpack_gstream(self._packed)
+
+    def transpose(self) -> "SparseMatrix":
+        """A^T, packed lazily on first access (cached)."""
+        if getattr(self, "_transposed", None) is None:
+            self._transposed = SparseMatrix(
+                self.unpack().transpose(), self.config,
+                backend=self._backend,
+                interpret=getattr(self._device, "interpret", None))
+        return self._transposed
+
+    @property
+    def T(self) -> "SparseMatrix":
+        return self.transpose()
 
     # reporting (main.cpp:84-88)
     def storage_overhead(self) -> float:

@@ -76,6 +76,17 @@ class CSRMatrix:
         np.add.at(d, (coo.row_ind, coo.col_ind), coo.values)
         return d
 
+    def transpose(self) -> "CSRMatrix":
+        """A^T as CSR (host-side index swap + re-sort)."""
+        coo = self.to_coo()
+        return CSRMatrix.from_coo(coo.col_ind, coo.row_ind, coo.values,
+                                  self.nr_cols, self.nr_rows,
+                                  sum_duplicates=False)
+
+    @property
+    def T(self) -> "CSRMatrix":
+        return self.transpose()
+
     def to_scipy(self):
         from scipy.sparse import csr_matrix
         return csr_matrix((self.values, self.col_ind, self.row_ptr),

@@ -108,3 +108,14 @@ def test_finish_heavy_rows_f_levels():
     y = np.asarray(sm.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
+
+
+def test_transpose_spmv():
+    """A.T @ x matches the transposed gold (lazy packed transpose)."""
+    from sparsetpu.formats import random_csr, spmv_gold, verification
+    m = random_csr(300, 500, density=0.05, seed=70, dtype=np.float32)
+    sm = SparseMatrix(m, backend="pallas", interpret=True)
+    x = np.random.default_rng(8).standard_normal(m.nr_rows)
+    y = np.asarray(sm.T.spmv(x))
+    assert verification(spmv_gold(m.T, x), y, 1e-3, 1e-3) == 0
+    assert sm.T is sm.T          # cached
