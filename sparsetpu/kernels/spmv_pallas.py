@@ -14,13 +14,19 @@ Re-design of the reference's device pipeline (spmv.cpp):
     and a free sublane-axis reduction into per-chunk partial sums (chunks
     are single-row by construction, so no flag scan is needed).
   * ``write_back_results`` + host ``accum_results`` (spmv.cpp:106-120,
-    csr_hw.cpp:1531-1565) become the chunk->row segment sum, fused on
-    device via jax.ops.segment_sum (XLA finish).
+    csr_hw.cpp:1531-1565) become the on-device *finish*: heavy rows
+    (> HEAVY_CAP partials) are pre-reduced by incidence F levels
+    (``_FLevel``), and everything lands in one gather-accumulate final
+    level (``_FinalLevel``) whose output grid cell (r//128, r%128) IS
+    y[r] — no XLA scatter on the hot path (XLA scatter costs ~8 ns per
+    element on TPU; only rare placement spills take it).
 
 The kernel processes ``tiles_per_step`` (8,128)-element tiles per grid step
 and emits one partial sum per chunk; the grid is sequential on a TensorCore,
 so steps pipeline DMA against compute exactly like the reference's dataflow
-stages.
+stages.  The final level's configuration is chosen per matrix by an
+on-chip-fitted cost model and built by the native C++ builder
+(native/final_builder.cpp) when present.
 """
 
 from __future__ import annotations
