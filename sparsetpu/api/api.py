@@ -90,6 +90,14 @@ class SparseMatrix:
         the device's two-float planes); f32 returns a jax.Array."""
         if self._backend == "pallas":
             if self.config.is_double:
+                if isinstance(x, jax.core.Tracer):
+                    raise TypeError(
+                        "f64-emulated spmv joins its two-float result on "
+                        "the host, so it cannot be traced by jit / "
+                        "while_loop.  Inside jitted code either use the "
+                        "f32 path (SpmvConfig(dtype=np.float32)) or call "
+                        "the device's (hi, lo) interface directly "
+                        "(SparseMatrix._device.spmv).")
                 return self._device.spmv_f64(x)
             return self._device.spmv(x)
         x = jnp.asarray(x, dtype=self.dtype)

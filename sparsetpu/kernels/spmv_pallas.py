@@ -259,6 +259,9 @@ class GStreamDevice:
         write_csr_hw_vector analogue (csr_hw.cpp:1470-1488), zero-padding
         past nr_cols (csr_hw.cpp:1480-1481)."""
         x = jnp.asarray(x, dtype=self.dtype)
+        if x.shape != (self.meta.nr_cols,):
+            raise ValueError(
+                f"x has shape {x.shape}, expected ({self.meta.nr_cols},)")
         pad = self.meta.padded_cols - self.meta.nr_cols
         if pad:
             x = jnp.pad(x, (0, pad))
