@@ -170,7 +170,7 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
 
         def kernel_only(op, xi):
             return _gstream_chunk_sums(
-                op.step_window, xi, op.values, op.cell_idx, op.route,
+                op.step_window, xi, op.values, op.meta16,
                 tiles_per_step=op.meta.tiles_per_step, G=op.meta.G,
                 n_steps=op.meta.n_steps, interpret=op.interpret)
         kernel_s = measure(kernel_only, sm._device, xp)
@@ -181,8 +181,8 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         def kernel_only(op, xi):
             dev, xl = op
             ch, cl = _df64_chunk_sums(
-                dev.step_window, xi, xl, dev.vhi, dev.vlo, dev.cell_idx,
-                dev.route, tiles_per_step=dev.meta.tiles_per_step,
+                dev.step_window, xi, xl, dev.vhi, dev.vlo, dev.meta16,
+                tiles_per_step=dev.meta.tiles_per_step,
                 G=dev.meta.G, n_steps=dev.meta.n_steps,
                 interpret=dev.interpret)
             return ch + cl * 0.0

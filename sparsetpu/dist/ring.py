@@ -49,8 +49,7 @@ class RingShardedSpmv:
     seg_cols: int                  # columns per ring segment (padded)
     # shard-stacked arrays, leading dim = P; step axis ordered by segment
     values: jax.Array
-    cell_idx: jax.Array
-    route: jax.Array
+    meta16: jax.Array              # combined (cell << 7 | route) stream
     step_window: jax.Array         # (P, P*n_steps_seg)
     G: int
     tiles_per_step: int
@@ -76,7 +75,7 @@ class RingShardedSpmv:
         fin = (self.fin_meta, self.fin_cell, self.fin_route,
                self.fin_spill_pos, self.fin_spill_row)
         y = _ring_spmv_jit(
-            self.values, self.cell_idx, self.route, self.step_window,
+            self.values, self.meta16, self.step_window,
             fin, x, mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step,
@@ -89,7 +88,7 @@ class RingShardedSpmv:
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
                                     "tiles_per_step", "n_steps_seg",
                                     "fin_static", "interpret"))
-def _ring_spmv_jit(values, cell_idx, route, step_window, fin, x, *, mesh,
+def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
                    axis, rows_per_part, G, tiles_per_step, n_steps_seg,
                    fin_static, interpret):
     from ..kernels.spmv_pallas import (_final_gather_sums,
@@ -101,7 +100,7 @@ def _ring_spmv_jit(values, cell_idx, route, step_window, fin, x, *, mesh,
     rows_seg = n_steps_seg * tiles_per_step * CHUNK
     f_tps, f_G, f_nw, f_S, f_n_out, f_xpad = fin_static
 
-    def local(values, cell_idx, route, step_window, fin, x_shard):
+    def local(values, meta16, step_window, fin, x_shard):
         me = jax.lax.axis_index(axis)
         x2 = x_shard.reshape(-1, STRIPE)          # my column segment
 
@@ -116,16 +115,14 @@ def _ring_spmv_jit(values, cell_idx, route, step_window, fin, x, *, mesh,
                                              n_steps_seg, 0)
             v = jax.lax.dynamic_slice_in_dim(values[0], src * rows_seg,
                                              rows_seg, 0)
-            c = jax.lax.dynamic_slice_in_dim(cell_idx[0], src * rows_seg,
-                                             rows_seg, 0)
-            r = jax.lax.dynamic_slice_in_dim(route[0], src * rows_seg,
-                                             rows_seg, 0)
+            mt = jax.lax.dynamic_slice_in_dim(meta16[0], src * rows_seg,
+                                              rows_seg, 0)
             if interpret == "xla":
-                cs = _chunk_sums_xla(w, xseg, v, c, r, G=G,
+                cs = _chunk_sums_xla(w, xseg, v, mt, G=G,
                                      tiles_per_step=tiles_per_step)
             else:
                 cs = _gstream_chunk_sums(
-                    w, xseg, v, c, r, tiles_per_step=tiles_per_step, G=G,
+                    w, xseg, v, mt, tiles_per_step=tiles_per_step, G=G,
                     n_steps=n_steps_seg, interpret=bool(interpret))
             vec = cs.reshape(-1)
             fm = jax.lax.dynamic_slice_in_dim(fin_meta, src * f_S, f_S, 0)
@@ -169,10 +166,10 @@ def _ring_spmv_jit(values, cell_idx, route, step_window, fin, x, *, mesh,
 
     spec_m = P(axis)
     return shard_map(local, mesh=mesh,
-                     in_specs=(spec_m, spec_m, spec_m, spec_m, spec_m,
+                     in_specs=(spec_m, spec_m, spec_m, spec_m,
                                P(axis)),
                      out_specs=P(axis))(
-        values, cell_idx, route, step_window, fin, x)
+        values, meta16, step_window, fin, x)
 
 
 def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
@@ -220,23 +217,23 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                               axis=0)
 
     from .spmv_dist import _build_shard_finals
+    from ..kernels.spmv_pallas import combine_meta
     rowmaps = []
-    vals, cells, routes, winds = [], [], [], []
+    vals, metas, winds = [], [], []
     for p in range(n_dev):
-        pv, pc, pr, pw = [], [], [], []
+        pv, pm, pw = [], [], []
         for s in range(n_dev):
             pk = packs[p][s]
             pv.append(pad_steps(pk.values, tiles_per_step * CHUNK))
-            pc.append(pad_steps(pk.cell_idx, tiles_per_step * CHUNK))
-            pr.append(pad_steps(pk.route, tiles_per_step * CHUNK))
+            pm.append(pad_steps(combine_meta(pk.cell_idx, pk.route),
+                                tiles_per_step * CHUNK))
             pw.append(pad_steps(pk.step_window, 1))
             cr = pk.chunk_row.copy()
             cr[cr == pk.nr_rows] = rows_per_part
             rowmaps.append(pad_steps(cr, tiles_per_step,
                                      fill=rows_per_part))
         vals.append(np.concatenate(pv, axis=0))
-        cells.append(np.concatenate(pc, axis=0))
-        routes.append(np.concatenate(pr, axis=0))
+        metas.append(np.concatenate(pm, axis=0))
         winds.append(np.concatenate(pw, axis=0))
 
     fin_arrays, fin_static = _build_shard_finals(rowmaps, rows_per_part)
@@ -259,8 +256,8 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         nr_cols=matrix.nr_cols, nr_nzeros=matrix.nr_nzeros,
         row_starts=part.row_start, rows_per_part=rows_per_part,
         seg_cols=seg_cols,
-        values=dev(np.stack(vals)), cell_idx=dev(np.stack(cells)),
-        route=dev(np.stack(routes)), step_window=dev(np.stack(winds)),
+        values=dev(np.stack(vals)), meta16=dev(np.stack(metas)),
+        step_window=dev(np.stack(winds)),
         G=G, tiles_per_step=tiles_per_step, n_steps_seg=n_steps_seg,
         fin_meta=dev(fm2), fin_cell=dev(fc2), fin_route=dev(fr2),
         fin_spill_pos=dev(sp2) if sp2 is not None else None,

@@ -61,8 +61,7 @@ class ShardedSpmv:
     rows_per_part: int              # padded local y length
     # stacked + sharded device arrays (leading dim = P)
     values: jax.Array
-    cell_idx: jax.Array
-    route: jax.Array
+    meta16: jax.Array               # combined (cell << 7 | route) stream
     chunk_row: jax.Array            # (P, n_chunks) local row ids (trap = pad)
     step_window: jax.Array          # (P, n_steps)
     G: int
@@ -90,7 +89,7 @@ class ShardedSpmv:
         fin = (self.fin_meta, self.fin_cell, self.fin_route,
                self.fin_spill_pos, self.fin_spill_row)
         y = _sharded_spmv_jit(
-            self.values, self.cell_idx, self.route, self.chunk_row,
+            self.values, self.meta16, self.chunk_row,
             self.step_window, fin, x,
             mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
@@ -115,7 +114,7 @@ def _scatter_rows(y_parts, row_starts, nr_rows):
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
                                     "tiles_per_step", "n_steps",
                                     "fin_static", "interpret"))
-def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, fin,
+def _sharded_spmv_jit(values, meta16, chunk_row, step_window, fin,
                       x, *, mesh, axis, rows_per_part, G, tiles_per_step,
                       n_steps, fin_static, interpret):
     # check_vma=False: pallas_call inside shard_map does not annotate its
@@ -123,15 +122,15 @@ def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, fin,
     # explicitly sharded anyway
     shard_map = functools.partial(jax.shard_map, check_vma=False)
 
-    def local(values, cell_idx, route, chunk_row, step_window, fin,
+    def local(values, meta16, chunk_row, step_window, fin,
               x_shard):
         # x is column-sharded across the mesh: gather the full vector over
         # ICI (the reference's per-CU x broadcast, spmv.cpp:180-192, lifted
         # to the chip level)
         x_full = jax.lax.all_gather(x_shard, axis).reshape(-1)
         x2 = x_full.reshape(-1, STRIPE)
-        y = _local_spmv(step_window[0], x2, values[0], cell_idx[0],
-                        route[0], chunk_row[0],
+        y = _local_spmv(step_window[0], x2, values[0], meta16[0],
+                        chunk_row[0],
                         jax.tree.map(lambda a: a[0], fin),
                         rows_per_part=rows_per_part, G=G,
                         tiles_per_step=tiles_per_step, n_steps=n_steps,
@@ -140,13 +139,13 @@ def _sharded_spmv_jit(values, cell_idx, route, chunk_row, step_window, fin,
 
     spec_m = P(axis)
     return shard_map(local, mesh=mesh,
-                     in_specs=(spec_m, spec_m, spec_m, spec_m, spec_m,
+                     in_specs=(spec_m, spec_m, spec_m, spec_m,
                                spec_m, P(axis)),
                      out_specs=P(axis))(
-        values, cell_idx, route, chunk_row, step_window, fin, x)
+        values, meta16, chunk_row, step_window, fin, x)
 
 
-def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, fin,
+def _local_spmv(step_window, x2, values, meta16, chunk_row, fin,
                 *, rows_per_part, G, tiles_per_step, n_steps, fin_static,
                 interpret):
     """Per-shard SpMV: Pallas kernel when available, XLA fallback in
@@ -155,12 +154,12 @@ def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, fin,
                                        _gstream_chunk_sums)
     if interpret == "xla":
         # emulate the kernel semantics in pure XLA (for CPU mesh tests)
-        chunk_sums = _chunk_sums_xla(step_window, x2, values, cell_idx,
-                                     route, G=G,
+        chunk_sums = _chunk_sums_xla(step_window, x2, values, meta16,
+                                     G=G,
                                      tiles_per_step=tiles_per_step)
     else:
         chunk_sums = _gstream_chunk_sums(
-            step_window, x2, values, cell_idx, route,
+            step_window, x2, values, meta16,
             tiles_per_step=tiles_per_step, G=G, n_steps=n_steps,
             interpret=bool(interpret))
     vec = chunk_sums.reshape(-1)
@@ -185,7 +184,7 @@ def _local_spmv(step_window, x2, values, cell_idx, route, chunk_row, fin,
     return y
 
 
-def _chunk_sums_xla(step_window, x2, values, cell_idx, route, *, G,
+def _chunk_sums_xla(step_window, x2, values, meta16, *, G,
                     tiles_per_step):
     """Reference semantics of the kernel in plain XLA ops (works on any
     backend; used by simulated-mesh tests and as a drop-in fallback)."""
@@ -194,8 +193,9 @@ def _chunk_sums_xla(step_window, x2, values, cell_idx, route, *, G,
     # window base (in stripes) per tile
     step_of_tile = jnp.arange(n_tiles) // tiles_per_step
     base = step_window[step_of_tile] * (8 * G)          # stripes
-    i1 = cell_idx.reshape(n_tiles, 8, STRIPE).astype(jnp.int32)
-    j = route.reshape(n_tiles, 8, STRIPE).astype(jnp.int32)
+    m32 = jnp.bitwise_and(meta16.astype(jnp.int32), 0x7FFF)
+    i1 = jnp.right_shift(m32, 7).reshape(n_tiles, 8, STRIPE)
+    j = jnp.bitwise_and(m32, 0x7F).reshape(n_tiles, 8, STRIPE)
     v = values.reshape(n_tiles, 8, STRIPE)
     # g1[t, s, r] = x2[base[t] + i1[t, s, r], r]
     stripe_idx = base[:, None, None] + i1
@@ -233,11 +233,12 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         padshape = ((target_steps - cur) * per_step_rows,) + a.shape[1:]
         return np.concatenate([a, np.full(padshape, fill, a.dtype)], axis=0)
 
-    vals, cells, routes, rowmaps, winds = [], [], [], [], []
+    from ..kernels.spmv_pallas import combine_meta
+    vals, metas, rowmaps, winds = [], [], [], []
     for p, pk in enumerate(packs):
         vals.append(pad_steps(pk.values, n_steps, tps * 8))
-        cells.append(pad_steps(pk.cell_idx, n_steps, tps * 8))
-        routes.append(pad_steps(pk.route, n_steps, tps * 8))
+        metas.append(pad_steps(combine_meta(pk.cell_idx, pk.route),
+                               n_steps, tps * 8))
         # local chunk_row trap = rows_per_part (local pad trap)
         cr = pk.chunk_row.copy()
         cr[cr == pk.nr_rows] = rows_per_part
@@ -254,8 +255,7 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         mesh=mesh, axis=axis, nr_rows=matrix.nr_rows,
         nr_cols=matrix.nr_cols, nr_nzeros=matrix.nr_nzeros,
         row_starts=part.row_start, rows_per_part=rows_per_part,
-        values=dev(np.stack(vals)), cell_idx=dev(np.stack(cells)),
-        route=dev(np.stack(routes)),
+        values=dev(np.stack(vals)), meta16=dev(np.stack(metas)),
         chunk_row=dev(np.stack([r.reshape(-1) for r in rowmaps])),
         step_window=dev(np.stack(winds)),
         G=G, tiles_per_step=tps, n_steps=n_steps,

@@ -160,17 +160,18 @@ def _df64_tree(h, l):
     return h[0], l[0]
 
 
-def _df64_spmv_kernel(sw_ref, xh_ref, xl_ref, vh_ref, vl_ref, cell_ref,
-                      route_ref, oh_ref, ol_ref, *, tiles_per_step: int,
+def _df64_spmv_kernel(sw_ref, xh_ref, xl_ref, vh_ref, vl_ref, meta_ref,
+                      oh_ref, ol_ref, *, tiles_per_step: int,
                       G: int):
     """df64 dual-gather kernel: error-free TwoProd per element, compensated
     pairwise chunk sums (the FPGA's f64 MAC, spmv.cpp:66-104 with
     -DDOUBLE, rebuilt as two-float arithmetic on the f32 VPU)."""
     from ..pack.gather_stream import CHUNK as _C, LANES as _L
+    from .spmv_pallas import _split_meta
     for t in range(tiles_per_step):
         sl = slice(t * _C, (t + 1) * _C)
-        i1 = cell_ref[sl, :].astype(jnp.int32)
-        j = route_ref[sl, :].astype(jnp.int32)
+        m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
+        i1, j = _split_meta(m32)
         sub = jnp.bitwise_and(i1, _C - 1)
         grp = jnp.right_shift(i1, 3)
         g1h = jnp.zeros((_C, _L), jnp.float32)
@@ -244,7 +245,7 @@ def _df64_final_kernel(sw_ref, *refs, tiles_per_step: int, G: int, nw: int):
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps",
                                     "interpret"))
-def _df64_chunk_sums(step_window, x2h, x2l, vhi, vlo, cell_idx, route, *,
+def _df64_chunk_sums(step_window, x2h, x2l, vhi, vlo, meta16, *,
                      tiles_per_step: int, G: int, n_steps: int,
                      interpret: bool = False):
     from jax.experimental import pallas as pl
@@ -261,7 +262,6 @@ def _df64_chunk_sums(step_window, x2h, x2l, vhi, vlo, cell_idx, route, *,
             pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
-            pl.BlockSpec((rows_per_step, _L), lambda i, sw: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tiles_per_step, _L), lambda i, sw: (i, 0)),
@@ -275,7 +275,7 @@ def _df64_chunk_sums(step_window, x2h, x2l, vhi, vlo, cell_idx, route, *,
         out_shape=[jax.ShapeDtypeStruct((n_tiles, _L), jnp.float32),
                    jax.ShapeDtypeStruct((n_tiles, _L), jnp.float32)],
         interpret=interpret,
-    )(step_window, x2h, x2l, vhi, vlo, cell_idx, route)
+    )(step_window, x2h, x2l, vhi, vlo, meta16)
 
 
 @functools.partial(jax.jit,
@@ -346,10 +346,11 @@ class DF64GStreamDevice:
             np.array_equal(packed_lo.chunk_row, packed.chunk_row), \
             "hi/lo packs diverged (pack engine must be deterministic)"
         self.meta = packed
+        from .spmv_pallas import combine_meta
         self.vhi = jnp.asarray(packed.values)
         self.vlo = jnp.asarray(packed_lo.values)
-        self.cell_idx = jnp.asarray(packed.cell_idx)
-        self.route = jnp.asarray(packed.route)
+        self.meta16 = jnp.asarray(combine_meta(packed.cell_idx,
+                                               packed.route))
         self.step_window = jnp.asarray(packed.step_window)
         chunk_row = packed.chunk_row.reshape(-1).astype(np.int64)
         self.final = _FinalLevel.build(chunk_row, packed.nr_rows,
@@ -384,7 +385,7 @@ class DF64GStreamDevice:
         x2h, x2l = x if x_is_packed else self.prepare_x(x)
         ch, cl = _df64_chunk_sums(
             self.step_window, x2h, x2l, self.vhi, self.vlo,
-            self.cell_idx, self.route,
+            self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, interpret=self.interpret)
         if self.final is None:
@@ -447,7 +448,7 @@ class DF64GStreamDevice:
 # --- pytree registration (see sparsetpu/kernels/spmv_pallas.py note) --------
 
 def _df64_flatten(d):
-    return ((d.vhi, d.vlo, d.cell_idx, d.route, d.step_window, d.final,
+    return ((d.vhi, d.vlo, d.meta16, d.step_window, d.final,
              d.chunk_row, getattr(d, "_spill_rows_sorted", None),
              getattr(d, "_spill_pos_sorted", None)),
             (d.meta, d.interpret, d._cr_np is None))
@@ -456,7 +457,7 @@ def _df64_flatten(d):
 def _df64_unflatten(aux, children):
     d = object.__new__(DF64GStreamDevice)
     d.meta, d.interpret, _ = aux
-    (d.vhi, d.vlo, d.cell_idx, d.route, d.step_window, d.final,
+    (d.vhi, d.vlo, d.meta16, d.step_window, d.final,
      d.chunk_row, sr, sp) = children
     d._cr_np = None
     if sr is not None:

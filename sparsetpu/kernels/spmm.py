@@ -25,12 +25,13 @@ from ..pack.gather_stream import CHUNK, GStreamMatrix, LANES, STRIPE
 from .spmv_xla import spmv_chunked_xla
 
 
-def _spmm_kernel(step_window_ref, xw_ref, val_ref, cell_ref, route_ref,
+def _spmm_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
                  out_ref, *, tiles_per_step: int, G: int, k: int):
+    from .spmv_pallas import _split_meta
     for t in range(tiles_per_step):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
-        i1 = cell_ref[sl, :].astype(jnp.int32)
-        j = route_ref[sl, :].astype(jnp.int32)
+        m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
+        i1, j = _split_meta(m32)
         v = val_ref[sl, :]
         if G > 1:
             sub = jnp.bitwise_and(i1, CHUNK - 1)
@@ -52,7 +53,7 @@ def _spmm_kernel(step_window_ref, xw_ref, val_ref, cell_ref, route_ref,
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps", "k",
                                     "interpret"))
-def _gstream_chunk_sums_multi(step_window, x3, values, cell_idx, route, *,
+def _gstream_chunk_sums_multi(step_window, x3, values, meta16, *,
                               tiles_per_step: int, G: int, n_steps: int,
                               k: int, interpret: bool = False):
     n_tiles = n_steps * tiles_per_step
@@ -65,7 +66,6 @@ def _gstream_chunk_sums_multi(step_window, x3, values, cell_idx, route, *,
                          lambda i, sw: (0, sw[i], 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
-            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
         ],
         out_specs=pl.BlockSpec((k, tiles_per_step, LANES),
                                lambda i, sw: (0, i, 0)),
@@ -76,7 +76,7 @@ def _gstream_chunk_sums_multi(step_window, x3, values, cell_idx, route, *,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, n_tiles, LANES), x3.dtype),
         interpret=interpret,
-    )(step_window, x3, values, cell_idx, route)
+    )(step_window, x3, values, meta16)
 
 
 def spmm_gstream(device, x_multi) -> jax.Array:
@@ -91,8 +91,8 @@ def spmm_gstream(device, x_multi) -> jax.Array:
     # (k, S, 128) stripe planes
     x3 = x_multi.T.reshape(k, -1, STRIPE)
     cs = _gstream_chunk_sums_multi(
-        device.step_window, x3, device.values, device.cell_idx,
-        device.route, tiles_per_step=meta.tiles_per_step, G=meta.G,
+        device.step_window, x3, device.values, device.meta16,
+        tiles_per_step=meta.tiles_per_step, G=meta.G,
         n_steps=meta.n_steps, k=k, interpret=device.interpret)
     # fused multi-plane finish: one metadata fetch serves all k planes
     if device.final is not None and not device.finish:

@@ -44,20 +44,35 @@ from ..pack.gather_stream import CHUNK, GStreamMatrix, LANES, STRIPE
 from .spmv_xla import spmv_chunked_xla
 
 
-def _spmv_kernel(step_window_ref, xw_ref, val_ref, cell_ref, route_ref,
+def combine_meta(cell_idx: np.ndarray, route: np.ndarray) -> np.ndarray:
+    """Fuse the per-cell stripe index (< 8G <= 256, 8 bits) and the lane
+    route (< 128, 7 bits) into one int16 stream: meta = cell << 7 | route.
+    One stream instead of two cuts the kernel's metadata traffic from
+    3 B/slot to 2 B/slot."""
+    return ((cell_idx.astype(np.int32) << 7)
+            | route.astype(np.int32) & 0x7F).astype(np.int16)
+
+
+def _split_meta(meta_i32):
+    """In-kernel inverse of combine_meta (meta widened to int32)."""
+    i1 = jnp.right_shift(meta_i32, 7)
+    j = jnp.bitwise_and(meta_i32, 0x7F)
+    return i1, j
+
+
+def _spmv_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
                  out_ref, *, tiles_per_step: int, G: int):
     """One grid step: tiles_per_step tiles -> per-chunk partial sums.
 
     xw_ref:   (8G, 128) x window (VMEM, staged by BlockSpec)
     val_ref:  (tiles_per_step*8, 128) values, stream layout
-    cell_ref: (tiles_per_step*8, 128) int16 per-cell local stripe index
-    route_ref:(tiles_per_step*8, 128) int16 residue route
+    meta_ref: (tiles_per_step*8, 128) int16 combined (cell << 7 | route)
     out_ref:  (tiles_per_step, 128) f32 chunk sums
     """
     for t in range(tiles_per_step):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
-        i1 = cell_ref[sl, :].astype(jnp.int32)
-        j = route_ref[sl, :].astype(jnp.int32)
+        m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
+        i1, j = _split_meta(m32)
         if G == 1:
             g1 = jnp.take_along_axis(xw_ref[:, :], i1, axis=0)
         else:
@@ -77,11 +92,11 @@ def _spmv_kernel(step_window_ref, xw_ref, val_ref, cell_ref, route_ref,
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps",
                                     "interpret"))
-def _gstream_chunk_sums(step_window, x2, values, cell_idx, route,
-                        *, tiles_per_step: int, G: int, n_steps: int,
+def _gstream_chunk_sums(step_window, x2, values, meta, *,
+                        tiles_per_step: int, G: int, n_steps: int,
                         interpret: bool = False):
     """Run the Pallas kernel over all steps; returns (n_tiles, 128) chunk
-    partial sums."""
+    partial sums.  ``meta`` is the combined (cell << 7 | route) stream."""
     n_tiles = n_steps * tiles_per_step
     rows_per_step = tiles_per_step * CHUNK
 
@@ -91,7 +106,6 @@ def _gstream_chunk_sums(step_window, x2, values, cell_idx, route,
         in_specs=[
             pl.BlockSpec((CHUNK * G, LANES),
                          lambda i, sw: (sw[i], 0)),           # x window
-            pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
         ],
@@ -105,7 +119,7 @@ def _gstream_chunk_sums(step_window, x2, values, cell_idx, route,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), x2.dtype),
         interpret=interpret,
-    )(step_window, x2, values, cell_idx, route)
+    )(step_window, x2, values, meta)
 
 
 def _final_kernel(sw_ref, *refs, tiles_per_step: int, G: int, nw: int):
@@ -204,8 +218,8 @@ class GStreamDevice:
         self.meta = packed
         self.interpret = interpret
         self.values = jnp.asarray(packed.values)
-        self.cell_idx = jnp.asarray(packed.cell_idx)
-        self.route = jnp.asarray(packed.route)
+        self.meta16 = jnp.asarray(combine_meta(packed.cell_idx,
+                                               packed.route))
         self.step_window = jnp.asarray(packed.step_window)
         self._build_finish(packed, finish_levels)
 
@@ -270,7 +284,7 @@ class GStreamDevice:
     def spmv(self, x, x_is_packed: bool = False) -> jax.Array:
         x2 = x if x_is_packed else self.prepare_x(x)
         chunk_sums = _gstream_chunk_sums(
-            self.step_window, x2, self.values, self.cell_idx, self.route,
+            self.step_window, x2, self.values, self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, interpret=self.interpret)
         return self.finish_vec(chunk_sums)
@@ -658,8 +672,7 @@ class _FLevel:
         self.meta = fp
         self.interpret = interpret
         self.values = jnp.asarray(fp.values)
-        self.cell_idx = jnp.asarray(fp.cell_idx)
-        self.route = jnp.asarray(fp.route)
+        self.meta16 = jnp.asarray(combine_meta(fp.cell_idx, fp.route))
         self.step_window = jnp.asarray(fp.step_window)
 
     def apply(self, chunk_sums: jax.Array) -> jax.Array:
@@ -669,7 +682,7 @@ class _FLevel:
             flat = jnp.pad(flat, (0, pad))
         x2 = flat[:self.meta.padded_cols].reshape(-1, STRIPE)
         return _gstream_chunk_sums(
-            self.step_window, x2, self.values, self.cell_idx, self.route,
+            self.step_window, x2, self.values, self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, interpret=self.interpret)
 
@@ -691,14 +704,14 @@ def spmv_gstream(packed: GStreamMatrix, x, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _flevel_flatten(f):
-    return ((f.values, f.cell_idx, f.route, f.step_window),
+    return ((f.values, f.meta16, f.step_window),
             (f.meta, f.interpret))
 
 
 def _flevel_unflatten(aux, children):
     f = object.__new__(_FLevel)
     f.meta, f.interpret = aux
-    f.values, f.cell_idx, f.route, f.step_window = children
+    f.values, f.meta16, f.step_window = children
     return f
 
 
@@ -717,7 +730,7 @@ def _final_unflatten(aux, children):
 
 
 def _device_flatten(d):
-    return ((d.values, d.cell_idx, d.route, d.step_window,
+    return ((d.values, d.meta16, d.step_window,
              tuple(d.finish), d.final, getattr(d, "chunk_row", None)),
             (d.meta, d.interpret))
 
@@ -725,7 +738,7 @@ def _device_flatten(d):
 def _device_unflatten(aux, children):
     d = object.__new__(GStreamDevice)
     d.meta, d.interpret = aux
-    (d.values, d.cell_idx, d.route, d.step_window,
+    (d.values, d.meta16, d.step_window,
      finish, d.final, chunk_row) = children
     d.finish = list(finish)
     if chunk_row is not None:

@@ -104,8 +104,10 @@ class GStreamMatrix:
 
     def storage_bytes(self) -> int:
         """Packed bytes moved to the device — the reference's 'MB
-        transferred' report (csr_hw.cpp:420-421)."""
-        return (self.values.nbytes + self.cell_idx.nbytes + self.route.nbytes
+        transferred' report (csr_hw.cpp:420-421).  cell_idx and route ship
+        fused as one int16 stream (kernels.spmv_pallas.combine_meta), so
+        the device stream is values + 2 B/slot of metadata."""
+        return (self.values.nbytes + self.cell_idx.nbytes
                 + self.chunk_row.nbytes + self.step_window.nbytes)
 
     def storage_overhead(self) -> float:

@@ -39,8 +39,7 @@ def save_device(path: str, device) -> None:
     so a resume pays neither the repack nor the reduction build."""
     arrs = {
         "values": np.asarray(device.values),
-        "cell_idx": np.asarray(device.cell_idx),
-        "route": np.asarray(device.route),
+        "meta16": np.asarray(device.meta16),
         "step_window": np.asarray(device.step_window),
         "chunk_row": device.meta.chunk_row,
         "meta": np.array([device.meta.nr_rows, device.meta.nr_cols,
@@ -86,11 +85,16 @@ def load_device(path: str, interpret: bool = False):
 
     def gs(prefix=""):
         mm = z[f"{prefix}meta"]
+        if prefix:
+            cell, route = z[f"{prefix}cell"], z[f"{prefix}route"]
+        else:
+            # main streams ship fused; split is the exact inverse
+            m16 = z["meta16"].astype(np.int32) & 0x7FFF
+            cell = (m16 >> 7).astype(np.int16)
+            route = (m16 & 0x7F).astype(np.int8)
         return GStreamMatrix(
-            values=z[f"{prefix}values"], cell_idx=z[f"{prefix}cell_idx"
-                                                    if not prefix
-                                                    else f"{prefix}cell"],
-            route=z[f"{prefix}route"], chunk_row=z[f"{prefix}chunk_row"],
+            values=z[f"{prefix}values"], cell_idx=cell, route=route,
+            chunk_row=z[f"{prefix}chunk_row"],
             step_window=z[f"{prefix}step_window"],
             nr_rows=int(mm[0]), nr_cols=int(mm[1]), nr_nzeros=int(mm[2]),
             G=int(mm[3]), tiles_per_step=int(mm[4]),
@@ -100,8 +104,7 @@ def load_device(path: str, interpret: bool = False):
     d.meta = gs()
     d.interpret = interpret
     d.values = jnp.asarray(z["values"])
-    d.cell_idx = jnp.asarray(z["cell_idx"])
-    d.route = jnp.asarray(z["route"])
+    d.meta16 = jnp.asarray(z["meta16"])
     d.step_window = jnp.asarray(z["step_window"])
     d.finish = []
     for i in range(int(z["n_flevels"][0])):
