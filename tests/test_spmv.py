@@ -119,3 +119,20 @@ def test_transpose_spmv():
     y = np.asarray(sm.T.spmv(x))
     assert verification(spmv_gold(m.T, x), y, 1e-3, 1e-3) == 0
     assert sm.T is sm.T          # cached
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_spmv_fuzz_shapes(seed):
+    """Randomized shapes/densities through the full pallas path."""
+    rng = np.random.default_rng(1000 + seed)
+    r = int(rng.integers(1, 3000))
+    c = int(rng.integers(1, 60000))
+    density = float(10 ** rng.uniform(-4, -0.5))
+    density = min(density, 4000 / max(r * c, 1) + density * 0.1)
+    m = random_csr(r, c, density=density, seed=seed, dtype=np.float32,
+                   empty_row_frac=float(rng.uniform(0, 0.4)))
+    x = rng.standard_normal(c)
+    sm = SparseMatrix(m, backend="pallas", interpret=True)
+    y = np.asarray(sm.spmv(x))
+    assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
+                        rel_thres=1e-3) == 0
