@@ -62,7 +62,12 @@ class SparseMatrix:
         elif self._backend == "pallas":
             self._packed = pack_gstream(matrix, self.config,
                                         value_dtype=np.float32)
-            self._device = GStreamDevice(self._packed, interpret=interpret)
+            vdt = None
+            if self.config.is_bf16:
+                import jax.numpy as _jnp
+                vdt = _jnp.bfloat16
+            self._device = GStreamDevice(self._packed, interpret=interpret,
+                                         value_dtype=vdt)
         else:
             coo = matrix.to_coo()
             self._row_ind = jnp.asarray(coo.row_ind)

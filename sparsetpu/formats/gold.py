@@ -89,4 +89,6 @@ def default_tolerance(dtype, nnz_per_row_hint: float = 64.0) -> tuple:
     if dtype == np.float64:
         return (DIFF_THRES, 0.0)
     scale = max(np.sqrt(max(nnz_per_row_hint, 1.0)), 1.0)
+    if dtype.itemsize == 2:          # bf16 value plane: 8-bit mantissa
+        return (1.5e-2 * scale, 1.5e-2 * scale)
     return (1e-5 * scale, 1e-5 * scale)

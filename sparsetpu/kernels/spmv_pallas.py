@@ -214,10 +214,12 @@ class GStreamDevice:
     HEAVY_CAP = 32       # rows with more partials get an F pre-reduction
 
     def __init__(self, packed: GStreamMatrix, interpret: bool = False,
-                 finish_levels: Optional[int] = None):
+                 finish_levels: Optional[int] = None, value_dtype=None):
         self.meta = packed
         self.interpret = interpret
-        self.values = jnp.asarray(packed.values)
+        # value_dtype=bfloat16 halves the value stream (the "ML precision"
+        # speed mode; ~8-bit mantissa, see default_tolerance)
+        self.values = jnp.asarray(packed.values, dtype=value_dtype)
         self.meta16 = jnp.asarray(combine_meta(packed.cell_idx,
                                                packed.route))
         self.step_window = jnp.asarray(packed.step_window)
@@ -271,8 +273,9 @@ class GStreamDevice:
     def prepare_x(self, x) -> jax.Array:
         """Pack the x vector into the (S, 128) stripe matrix — the
         write_csr_hw_vector analogue (csr_hw.cpp:1470-1488), zero-padding
-        past nr_cols (csr_hw.cpp:1480-1481)."""
-        x = jnp.asarray(x, dtype=self.dtype)
+        past nr_cols (csr_hw.cpp:1480-1481).  x stays f32 even in the
+        bf16 value mode (products promote to f32)."""
+        x = jnp.asarray(x, dtype=jnp.float32)
         if x.shape != (self.meta.nr_cols,):
             raise ValueError(
                 f"x has shape {x.shape}, expected ({self.meta.nr_cols},)")

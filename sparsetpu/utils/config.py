@@ -82,8 +82,15 @@ class SpmvConfig:
                 f"block_cols must be <= {MAX_BLOCK_COLS} (15-bit local index, "
                 "csr_hw.cpp:288-292 parity)")
         d = np.dtype(self.dtype)
-        if d not in (np.dtype(np.float32), np.dtype(np.float64)):
-            raise ValueError("dtype must be float32 or float64")
+        valid = [np.dtype(np.float32), np.dtype(np.float64)]
+        try:
+            import ml_dtypes
+            valid.append(np.dtype(ml_dtypes.bfloat16))
+        except ImportError:
+            pass
+        if d not in valid:
+            raise ValueError(
+                "dtype must be float32, float64 or bfloat16")
         object.__setattr__(self, "dtype", d)
 
     # -- derived quantities (util.h:63-67 analogues) -------------------------
@@ -94,6 +101,10 @@ class SpmvConfig:
     @property
     def is_double(self) -> bool:
         return self.dtype == np.dtype(np.float64)
+
+    @property
+    def is_bf16(self) -> bool:
+        return self.dtype.itemsize == 2
 
     def nr_blocks(self, nr_cols: int) -> int:
         """ceil(nr_cols / block_cols) — csr.cpp:39-43 / csr_hw.cpp:25-27."""

@@ -136,3 +136,18 @@ def test_spmv_fuzz_shapes(seed):
     y = np.asarray(sm.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
+
+
+def test_bf16_value_mode():
+    """bfloat16 value plane: half the value stream, ~8-bit-mantissa
+    accuracy (the "ML precision" speed mode; no reference analogue)."""
+    import ml_dtypes
+    from sparsetpu.formats import default_tolerance
+    m = random_csr(1000, 2000, density=0.02, seed=71, dtype=np.float32)
+    cfg = SpmvConfig(dtype=np.dtype(ml_dtypes.bfloat16))
+    sm = SparseMatrix(m, cfg, interpret=True)
+    x = np.random.default_rng(6).standard_normal(m.nr_cols)
+    y = np.asarray(sm.spmv(x))
+    assert y.dtype == np.float32
+    atol, rtol = default_tolerance(cfg.dtype, m.nr_nzeros / m.nr_rows)
+    assert verification(spmv_gold(m, x), y, atol, rtol) == 0
