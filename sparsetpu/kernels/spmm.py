@@ -8,7 +8,8 @@ moves ~8.5 B/nnz.
 
 Layout: X is packed to (k, S, 128) stripe planes; the kernel's x-window
 block is (k, 8G, 128); outputs are (k, n_tiles, 128) chunk sums, finished
-per-plane by the same F-level reduction as SpMV.
+by a fused multi-plane final level (one metadata fetch for all k planes;
+per-plane F levels only when heavy rows are present).
 """
 
 from __future__ import annotations

@@ -202,14 +202,12 @@ class GStreamDevice:
     repeated spmv calls pay no host->device transfer.
 
     The row-reduction finish ("accum_results", csr_hw.cpp:1531-1565) runs
-    entirely on device: XLA scatter/gather cost ~7-9 ns *per element* on
-    TPU (measured), so the reduction is expressed as further SpMVs in the
-    same GStream kernel.  F levels (0/1 chunk->row incidence matrices,
-    free placement) reduce to <= FINAL_FANIN row-localized partials per
-    row; a final fixed-position level then writes the y vector directly:
-    its output grid cell (r // 128, r %% 128) IS y[r].  Only pack-time
-    spill leftovers (rare residue-cell conflicts in the final level) take
-    the slow XLA scatter path."""
+    entirely on device: XLA scatter/gather costs ~8 ns *per element* on
+    TPU (measured), so heavy rows (> HEAVY_CAP partials) are pre-reduced
+    by 0/1-incidence F levels expressed in the same GStream kernel, and
+    everything else lands in one gather-accumulate final level whose
+    output grid cell (r // 128, r %% 128) IS y[r].  Only pack-time spill
+    leftovers (rare placement conflicts) take the slow XLA scatter path."""
 
     HEAVY_CAP = 32       # rows with more partials get an F pre-reduction
 
