@@ -126,7 +126,17 @@ def _pad_rows_to_chunks(sub_rows, sub_cols, sub_vals):
     analogue).  Input is row-major sorted; returns flat padded
     (row, local_col, val, is_real) arrays.  Pad elements reuse the row's
     first column so their gather stays in-window."""
-    rows_u, counts = np.unique(sub_rows, return_counts=True)
+    # sub_rows is row-major sorted: run-length encode instead of np.unique
+    # (which re-sorts)
+    if sub_rows.shape[0]:
+        bounds = np.flatnonzero(np.diff(sub_rows)) + 1
+        starts_u = np.concatenate([[0], bounds])
+        rows_u = sub_rows[starts_u]
+        counts = np.diff(np.concatenate([starts_u,
+                                         [sub_rows.shape[0]]]))
+    else:
+        rows_u = sub_rows
+        counts = np.zeros(0, dtype=np.int64)
     padded_counts = (-(-counts // CHUNK) * CHUNK).astype(np.int64)
     total = int(padded_counts.sum())
     out_row = np.repeat(rows_u, padded_counts).astype(np.int32)
@@ -392,12 +402,22 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         all_r.append(np.zeros((k * CHUNK, LANES), dtype=np.int8))
         all_m.append(np.full((k, LANES), nr_rows, dtype=np.int32))
 
+    if n_blocks > 1:
+        # one stable sort by window (keeps row-major order inside each
+        # block) instead of an O(n_blocks * nnz) mask scan per block
+        blk = cols_all // W
+        order = np.argsort(blk, kind="stable")
+        rows_srt, cols_srt, vals_srt = (rows_all[order], cols_all[order],
+                                        vals_all[order])
+        blk_starts = np.searchsorted(blk[order],
+                                     np.arange(n_blocks + 1))
     for b in range(n_blocks):
         if n_blocks == 1:
             brows, bcols, bvals = rows_all, cols_all, vals_all
         else:
-            m = (cols_all // W) == b
-            brows, bcols, bvals = rows_all[m], cols_all[m], vals_all[m]
+            lo, hi = int(blk_starts[b]), int(blk_starts[b + 1])
+            brows, bcols, bvals = (rows_srt[lo:hi], cols_srt[lo:hi],
+                                   vals_srt[lo:hi])
         if brows.shape[0] == 0:
             continue
         local = (bcols - b * W).astype(np.int32)
