@@ -314,16 +314,20 @@ def _native_pack_block():
         return None
 
 
-# Measured on TPU v5e at tiles_per_step=128 (bench/micro ladder): slot
-# throughput of the dual-gather kernel vs window-group count G.  The select
-# chain costs ~linearly in G, while smaller windows pad short (row, window)
-# nnz runs to the 8-slot chunk — the pack picks G minimizing predicted time.
-_RATE_GSLOT = {1: 93.0, 2: 94.0, 4: 90.0, 8: 90.0, 16: 77.0, 32: 52.0}
+# Measured on TPU v5e at tiles_per_step=128 with the production fused
+# int16 meta stream: slot throughput of the dual-gather kernel vs
+# window-group count G.  The select chain costs ~linearly in G, while
+# smaller windows pad short (row, window) nnz runs to the 8-slot chunk —
+# the pack picks G minimizing predicted time.
+_RATE_GSLOT = {1: 119.0, 2: 120.0, 4: 115.0, 8: 109.0, 16: 88.0,
+               32: 51.0}
 
 
-def _choose_G(matrix: CSRMatrix) -> int:
+def _choose_G(matrix: CSRMatrix, tiles_per_step: int = 128) -> int:
     """Pick the column-window group count G from the (row, window) nnz
-    histogram: total padded slots at each G over the measured slot rate."""
+    histogram: total slots at each G — including the per-block padding of
+    tile counts to tiles_per_step multiples, which dominates when blocks
+    are many and small — over the measured slot rate."""
     need = max(1, -(-matrix.nr_cols // (CHUNK * STRIPE)))
     if need <= 4:
         return min(MAX_G, need)
@@ -352,7 +356,15 @@ def _choose_G(matrix: CSRMatrix) -> int:
         u2, inv = np.unique(key2, return_inverse=True)
         c2 = np.zeros(u2.shape[0], dtype=np.int64)
         np.add.at(c2, inv, counts)
-        slots = 8 * int(np.sum(-(-c2 // CHUNK)))
+        chunks_pair = -(-c2 // CHUNK)
+        # per-block tile counts, padded to the grid step quantum
+        blk_of_pair = (u2 % nb).astype(np.int64)
+        chunks_blk = np.bincount(blk_of_pair, weights=chunks_pair,
+                                 minlength=1)
+        nz = chunks_blk[chunks_blk > 0]
+        tiles_blk = -(-nz // TILE_CHUNKS)
+        tiles_pad = (-(-tiles_blk // tiles_per_step)) * tiles_per_step
+        slots = int(tiles_pad.sum()) * TILE_NNZ
         t = slots / _RATE_GSLOT[g]
         if best_t is None or t < best_t:
             best_g, best_t = g, t
@@ -381,7 +393,7 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         else:
             tiles_per_step = 8
     if G is None:
-        G = _choose_G(matrix)
+        G = _choose_G(matrix, tiles_per_step)
     W = G * CHUNK * STRIPE
     n_blocks = max(1, -(-nr_cols // W))
     padded_cols = n_blocks * W
