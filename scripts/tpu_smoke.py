@@ -53,6 +53,16 @@ def main() -> int:
         assert np.abs(y - g).max() < 1e-9
     ok.append(check("spmv df64 (accuracy < 1e-9)", spmv_df64))
 
+    def spmv_powerlaw():
+        mp = random_csr(50_000, 50_000, density=0.0004, seed=6,
+                        dtype=np.float32, powerlaw=True)
+        sm = SparseMatrix(mp)
+        xp = rng.standard_normal(mp.nr_cols)
+        y = np.asarray(sm.spmv(xp))
+        assert len(sm._device.finish) >= 1     # heavy-row F levels active
+        assert verification(spmv_gold(mp, xp), y, 1e-2, 1e-3) == 0
+    ok.append(check("spmv power-law (F levels)", spmv_powerlaw))
+
     def spmm_k8():
         sm = SparseMatrix(m)
         X = rng.standard_normal((m.nr_cols, 8)).astype(np.float32)
