@@ -39,6 +39,9 @@ class SparseMatrix:
 
     def __init__(self, matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  backend: str = "auto", interpret: Optional[bool] = None):
+        if interpret is None and config is not None:
+            # TARGET=emu knob (Makefile:11): config-selected interpreter
+            interpret = config.interpret
         if interpret is None:
             # Pallas kernels need the interpreter off-TPU (the emulation
             # backend of SURVEY.md section 4)

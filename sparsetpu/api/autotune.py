@@ -16,29 +16,36 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def autotune_pack(matrix, candidates: Optional[Sequence[int]] = None,
+def autotune_pack(matrix, candidates: Optional[Sequence] = None,
                   interpret: Optional[bool] = None, verbose: bool = False):
-    """Pack ``matrix`` at several window sizes G, measure the SpMV on
-    device, return the fastest SparseMatrix.
+    """Pack ``matrix`` at several (G window, Q quantum) layouts, measure
+    the SpMV on device, return the fastest SparseMatrix.
 
-    candidates defaults to {model choice, half, double} clipped to the
-    valid range."""
+    candidates defaults to the model choice plus neighboring G (half /
+    double) and Q (half / double) layouts."""
     import jax
     import jax.numpy as jnp
-    from ..pack.gather_stream import MAX_G, _choose_G, pack_gstream
+    from ..pack.gather_stream import (MAX_G, VALID_Q, _choose_layout,
+                                      pack_gstream)
     from ..kernels.spmv_pallas import GStreamDevice
     from .api import SparseMatrix
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    g0 = _choose_G(matrix)
+    g0, q0 = _choose_layout(matrix)
     if candidates is None:
-        candidates = sorted({max(1, g0 // 2), g0, min(MAX_G, g0 * 2)})
+        gs = sorted({max(1, g0 // 2), g0, min(MAX_G, g0 * 2)})
+        qs = sorted({max(1, q0 // 2), q0, min(8, q0 * 2)} & set(VALID_Q))
+        candidates = sorted({(g, q0) for g in gs} | {(g0, q) for q in qs})
+    else:
+        # bare ints are window sizes (the pre-Q calling convention)
+        candidates = [(c, q0) if isinstance(c, (int, np.integer))
+                      else tuple(c) for c in candidates]
 
     x = np.random.default_rng(0).standard_normal(matrix.nr_cols)
     best = None
-    for g in candidates:
-        packed = pack_gstream(matrix, G=int(g))
+    for g, q in candidates:
+        packed = pack_gstream(matrix, G=int(g), Q=int(q))
         dev = GStreamDevice(packed, interpret=interpret)
         x2 = dev.prepare_x(x)
 
@@ -71,12 +78,12 @@ def autotune_pack(matrix, candidates: Optional[Sequence[int]] = None,
         tn = time.perf_counter() - t0
         per_call = max((tn - tb) / (n_hi - n_lo), 1e-9)
         if verbose:
-            print(f"autotune G={g}: {per_call*1e3:.3f} ms "
+            print(f"autotune G={g} Q={q}: {per_call*1e3:.3f} ms "
                   f"(fill {packed.fill_factor:.3f})")
         if best is None or per_call < best[0]:
-            best = (per_call, g, packed, dev)
+            best = (per_call, packed, dev)
 
-    _, g, packed, dev = best
+    _, packed, dev = best
     sm = SparseMatrix.__new__(SparseMatrix)
     from ..utils.config import SpmvConfig
     sm.config = SpmvConfig(dtype=np.dtype(np.float32))

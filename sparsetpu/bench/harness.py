@@ -172,7 +172,8 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
             return _gstream_chunk_sums(
                 op.step_window, xi, op.values, op.meta16,
                 tiles_per_step=op.meta.tiles_per_step, G=op.meta.G,
-                n_steps=op.meta.n_steps, interpret=op.interpret)
+                n_steps=op.meta.n_steps, P=op.meta.planes,
+                interpret=op.interpret)
         kernel_s = measure(kernel_only, sm._device, xp)
         finish_s = max(total_s - kernel_s, 0.0)
     elif is_double:

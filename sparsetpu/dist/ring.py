@@ -54,6 +54,7 @@ class RingShardedSpmv:
     G: int
     tiles_per_step: int
     n_steps_seg: int
+    planes: int                    # chunk-sum planes (8 / pack quantum Q)
     # per-(shard, segment) finals, padded uniform; leading dims (P, P)
     fin_meta: jax.Array
     fin_cell: jax.Array
@@ -79,7 +80,8 @@ class RingShardedSpmv:
             fin, x, mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step,
-            n_steps_seg=self.n_steps_seg, fin_static=self.fin_static,
+            n_steps_seg=self.n_steps_seg, planes=self.planes,
+            fin_static=self.fin_static,
             interpret=self.interpret)
         return _scatter_rows(y, self.row_starts, self.nr_rows)
 
@@ -87,10 +89,10 @@ class RingShardedSpmv:
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
                                     "tiles_per_step", "n_steps_seg",
-                                    "fin_static", "interpret"))
+                                    "planes", "fin_static", "interpret"))
 def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
                    axis, rows_per_part, G, tiles_per_step, n_steps_seg,
-                   fin_static, interpret):
+                   planes, fin_static, interpret):
     from ..kernels.spmv_pallas import (_final_gather_sums,
                                        _gstream_chunk_sums)
     from .spmv_dist import _chunk_sums_xla
@@ -118,12 +120,13 @@ def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
             mt = jax.lax.dynamic_slice_in_dim(meta16[0], src * rows_seg,
                                               rows_seg, 0)
             if interpret == "xla":
-                cs = _chunk_sums_xla(w, xseg, v, mt, G=G,
+                cs = _chunk_sums_xla(w, xseg, v, mt, G=G, P=planes,
                                      tiles_per_step=tiles_per_step)
             else:
                 cs = _gstream_chunk_sums(
                     w, xseg, v, mt, tiles_per_step=tiles_per_step, G=G,
-                    n_steps=n_steps_seg, interpret=bool(interpret))
+                    n_steps=n_steps_seg, P=planes,
+                    interpret=bool(interpret))
             vec = cs.reshape(-1)
             fm = jax.lax.dynamic_slice_in_dim(fin_meta, src * f_S, f_S, 0)
             fc = jax.lax.dynamic_slice_in_dim(
@@ -176,13 +179,14 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                     interpret=False,
                     tiles_per_step: int = 32) -> RingShardedSpmv:
     """Pack + shard for the ring-overlapped schedule."""
-    from ..pack.gather_stream import _choose_G
+    from ..pack.gather_stream import _choose_layout
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
                          if a == axis]))
     part = balance_rows(matrix, n_dev)
     rows_per_part = int(max(part.row_end - part.row_start))
-    G = _choose_G(matrix)
+    G, Q = _choose_layout(matrix)
+    planes = CHUNK // Q
     W = G * CHUNK * STRIPE
     seg_cols = -(-matrix.nr_cols // (n_dev * W)) * W
 
@@ -202,7 +206,8 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                 rows_of[msk], cols[msk] - s * seg_cols,
                 sub.values[msk].astype(np.float32),
                 sub.nr_rows, seg_cols)
-            pk = pack_gstream(block, tiles_per_step=tiles_per_step, G=G)
+            pk = pack_gstream(block, tiles_per_step=tiles_per_step, G=G,
+                              Q=Q)
             assert pk.G == G and pk.tiles_per_step == tiles_per_step
             packs[p][s] = pk
             n_steps_seg = max(n_steps_seg, pk.n_steps)
@@ -230,7 +235,7 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
             pw.append(pad_steps(pk.step_window, 1))
             cr = pk.chunk_row.copy()
             cr[cr == pk.nr_rows] = rows_per_part
-            rowmaps.append(pad_steps(cr, tiles_per_step,
+            rowmaps.append(pad_steps(cr, tiles_per_step * planes,
                                      fill=rows_per_part))
         vals.append(np.concatenate(pv, axis=0))
         metas.append(np.concatenate(pm, axis=0))
@@ -259,6 +264,7 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         values=dev(np.stack(vals)), meta16=dev(np.stack(metas)),
         step_window=dev(np.stack(winds)),
         G=G, tiles_per_step=tiles_per_step, n_steps_seg=n_steps_seg,
+        planes=planes,
         fin_meta=dev(fm2), fin_cell=dev(fc2), fin_route=dev(fr2),
         fin_spill_pos=dev(sp2) if sp2 is not None else None,
         fin_spill_row=dev(sr2) if sr2 is not None else None,

@@ -68,6 +68,7 @@ class ShardedSpmv:
     tiles_per_step: int
     n_steps: int
     padded_cols: int
+    planes: int = 1                 # chunk-sum planes (8 / pack quantum Q)
     interpret: bool = False
     # per-shard final reduction (None -> XLA segment-sum fallback)
     fin_meta: Optional[jax.Array] = None    # (P, S, nw+2)
@@ -94,6 +95,7 @@ class ShardedSpmv:
             mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step, n_steps=self.n_steps,
+            planes=self.planes,
             fin_static=self.fin_static, interpret=self.interpret)
         # y: (P, rows_per_part) -> global y
         return _scatter_rows(y, self.row_starts, self.nr_rows)
@@ -112,11 +114,11 @@ def _scatter_rows(y_parts, row_starts, nr_rows):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
-                                    "tiles_per_step", "n_steps",
+                                    "tiles_per_step", "n_steps", "planes",
                                     "fin_static", "interpret"))
 def _sharded_spmv_jit(values, meta16, chunk_row, step_window, fin,
                       x, *, mesh, axis, rows_per_part, G, tiles_per_step,
-                      n_steps, fin_static, interpret):
+                      n_steps, planes, fin_static, interpret):
     # check_vma=False: pallas_call inside shard_map does not annotate its
     # out_shape with mesh-variance info, and every operand here is
     # explicitly sharded anyway
@@ -134,7 +136,8 @@ def _sharded_spmv_jit(values, meta16, chunk_row, step_window, fin,
                         jax.tree.map(lambda a: a[0], fin),
                         rows_per_part=rows_per_part, G=G,
                         tiles_per_step=tiles_per_step, n_steps=n_steps,
-                        fin_static=fin_static, interpret=interpret)
+                        planes=planes, fin_static=fin_static,
+                        interpret=interpret)
         return y[None]
 
     spec_m = P(axis)
@@ -147,7 +150,7 @@ def _sharded_spmv_jit(values, meta16, chunk_row, step_window, fin,
 
 def _local_spmv(step_window, x2, values, meta16, chunk_row, fin,
                 *, rows_per_part, G, tiles_per_step, n_steps, fin_static,
-                interpret):
+                interpret, planes=1):
     """Per-shard SpMV: Pallas kernel when available, XLA fallback in
     simulated-mesh tests (CPU devices cannot run the TPU kernel)."""
     from ..kernels.spmv_pallas import (_final_gather_sums,
@@ -155,13 +158,13 @@ def _local_spmv(step_window, x2, values, meta16, chunk_row, fin,
     if interpret == "xla":
         # emulate the kernel semantics in pure XLA (for CPU mesh tests)
         chunk_sums = _chunk_sums_xla(step_window, x2, values, meta16,
-                                     G=G,
+                                     G=G, P=planes,
                                      tiles_per_step=tiles_per_step)
     else:
         chunk_sums = _gstream_chunk_sums(
             step_window, x2, values, meta16,
             tiles_per_step=tiles_per_step, G=G, n_steps=n_steps,
-            interpret=bool(interpret))
+            P=planes, interpret=bool(interpret))
     vec = chunk_sums.reshape(-1)
     if fin_static is None or interpret == "xla":
         y = jax.ops.segment_sum(vec, chunk_row,
@@ -185,7 +188,7 @@ def _local_spmv(step_window, x2, values, meta16, chunk_row, fin,
 
 
 def _chunk_sums_xla(step_window, x2, values, meta16, *, G,
-                    tiles_per_step):
+                    tiles_per_step, P=1):
     """Reference semantics of the kernel in plain XLA ops (works on any
     backend; used by simulated-mesh tests and as a drop-in fallback)."""
     n_rows_tot = values.shape[0]
@@ -202,7 +205,11 @@ def _chunk_sums_xla(step_window, x2, values, meta16, *, G,
     lanes = jnp.arange(STRIPE)[None, None, :]
     g1 = x2[stripe_idx, lanes]
     g2 = jnp.take_along_axis(g1, j, axis=2)
-    return jnp.sum(v * g2, axis=1)
+    prod = v * g2
+    if P == 1:
+        return jnp.sum(prod, axis=1)
+    return jnp.sum(prod.reshape(n_tiles, P, 8 // P, STRIPE),
+                   axis=2).reshape(n_tiles * P, STRIPE)
 
 
 def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
@@ -216,12 +223,16 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     for p in range(P_):
         r0, r1 = int(part.row_start[p]), int(part.row_end[p])
         sub = _slice_rows(matrix, r0, r1)
-        packs.append(pack_gstream(sub, config))
-    G = max(pk.G for pk in packs)
-    if any(pk.G != G for pk in packs):
-        # re-pack shards that chose a smaller window (tiny shards)
-        raise NotImplementedError(
-            "heterogeneous window sizes across shards; use uniform ncols")
+        if not packs:
+            packs.append(pack_gstream(sub, config))
+        else:
+            # pin shard 0's layout: the SPMD program needs uniform
+            # (G, Q, tiles_per_step) across shards
+            packs.append(pack_gstream(
+                sub, config, G=packs[0].G, Q=packs[0].Q,
+                tiles_per_step=packs[0].tiles_per_step))
+    G = packs[0].G
+    planes = packs[0].planes
     tps = packs[0].tiles_per_step
     n_steps = max(pk.n_steps for pk in packs)
     rows_per_part = int(max(part.row_end - part.row_start))
@@ -242,7 +253,8 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         # local chunk_row trap = rows_per_part (local pad trap)
         cr = pk.chunk_row.copy()
         cr[cr == pk.nr_rows] = rows_per_part
-        rowmaps.append(pad_steps(cr, n_steps, tps, fill=rows_per_part))
+        rowmaps.append(pad_steps(cr, n_steps, tps * planes,
+                                 fill=rows_per_part))
         winds.append(pad_steps(pk.step_window, n_steps, 1))
 
     fin_arrays, fin_static = _build_shard_finals(
@@ -259,7 +271,8 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         chunk_row=dev(np.stack([r.reshape(-1) for r in rowmaps])),
         step_window=dev(np.stack(winds)),
         G=G, tiles_per_step=tps, n_steps=n_steps,
-        padded_cols=packs[0].padded_cols, interpret=interpret,
+        padded_cols=packs[0].padded_cols, planes=planes,
+        interpret=interpret,
         fin_meta=fin_dev[0], fin_cell=fin_dev[1], fin_route=fin_dev[2],
         fin_spill_pos=fin_dev[3], fin_spill_row=fin_dev[4],
         fin_static=fin_static)

@@ -336,11 +336,14 @@ class DF64GStreamDevice:
                          matrix.nr_rows, matrix.nr_cols)
         m_lo = CSRMatrix(matrix.row_ptr, matrix.col_ind, vlo,
                          matrix.nr_rows, matrix.nr_cols)
+        # Q pinned to 8: the df64 kernels emit one (hi, lo) plane pair per
+        # tile (plane support tracks the f32 kernel; revisit if profiles
+        # show df64 fill-bound)
         packed = pack_gstream(m_hi, value_dtype=np.float32,
-                              shuffle_lanes=False)
+                              shuffle_lanes=False, Q=8)
         packed_lo = pack_gstream(m_lo, value_dtype=np.float32,
                                  shuffle_lanes=False,
-                                 G=packed.G,
+                                 G=packed.G, Q=8,
                                  tiles_per_step=packed.tiles_per_step)
         assert packed_lo.values.shape == packed.values.shape and \
             np.array_equal(packed_lo.chunk_row, packed.chunk_row), \

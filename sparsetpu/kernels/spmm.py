@@ -27,8 +27,10 @@ from .spmv_xla import spmv_chunked_xla
 
 
 def _spmm_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
-                 out_ref, *, tiles_per_step: int, G: int, k: int):
+                 out_ref, *, tiles_per_step: int, G: int, k: int,
+                 P: int = 1):
     from .spmv_pallas import _split_meta
+    Q = CHUNK // P
     for t in range(tiles_per_step):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
         m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
@@ -48,15 +50,22 @@ def _spmm_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
                         axis=0)
                     g1 = jnp.where(grp == g, part, g1)
             g2 = jnp.take_along_axis(g1, j, axis=1)
-            out_ref[kk, t, :] = jnp.sum(v * g2, axis=0)
+            prod = v * g2
+            if P == 1:
+                out_ref[kk, t, :] = jnp.sum(prod, axis=0)
+            else:
+                for p in range(P):
+                    out_ref[kk, t * P + p, :] = jnp.sum(
+                        prod[p * Q:(p + 1) * Q, :], axis=0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps", "k",
-                                    "interpret"))
+                                    "P", "interpret"))
 def _gstream_chunk_sums_multi(step_window, x3, values, meta16, *,
                               tiles_per_step: int, G: int, n_steps: int,
-                              k: int, interpret: bool = False):
+                              k: int, P: int = 1,
+                              interpret: bool = False):
     n_tiles = n_steps * tiles_per_step
     rows_per_step = tiles_per_step * CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -68,14 +77,14 @@ def _gstream_chunk_sums_multi(step_window, x3, values, meta16, *,
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((k, tiles_per_step, LANES),
+        out_specs=pl.BlockSpec((k, tiles_per_step * P, LANES),
                                lambda i, sw: (0, i, 0)),
     )
     kernel = functools.partial(_spmm_kernel, tiles_per_step=tiles_per_step,
-                               G=G, k=k)
+                               G=G, k=k, P=P)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, n_tiles, LANES), x3.dtype),
+        out_shape=jax.ShapeDtypeStruct((k, n_tiles * P, LANES), x3.dtype),
         interpret=interpret,
     )(step_window, x3, values, meta16)
 
@@ -94,7 +103,8 @@ def spmm_gstream(device, x_multi) -> jax.Array:
     cs = _gstream_chunk_sums_multi(
         device.step_window, x3, device.values, device.meta16,
         tiles_per_step=meta.tiles_per_step, G=meta.G,
-        n_steps=meta.n_steps, k=k, interpret=device.interpret)
+        n_steps=meta.n_steps, k=k, P=meta.planes,
+        interpret=device.interpret)
     # fused multi-plane finish: one metadata fetch serves all k planes
     if device.final is not None and not device.finish:
         return _final_gather_sums_multi(device.final, cs, meta.nr_rows)

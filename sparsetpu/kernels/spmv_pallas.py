@@ -61,14 +61,18 @@ def _split_meta(meta_i32):
 
 
 def _spmv_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
-                 out_ref, *, tiles_per_step: int, G: int):
+                 out_ref, *, tiles_per_step: int, G: int, P: int = 1):
     """One grid step: tiles_per_step tiles -> per-chunk partial sums.
 
     xw_ref:   (8G, 128) x window (VMEM, staged by BlockSpec)
     val_ref:  (tiles_per_step*8, 128) values, stream layout
     meta_ref: (tiles_per_step*8, 128) int16 combined (cell << 7 | route)
-    out_ref:  (tiles_per_step, 128) f32 chunk sums
+    out_ref:  (tiles_per_step*P, 128) f32 chunk sums, P planes per tile
+              (P = 8/Q where Q is the pack quantum; plane p sums
+              sublanes [p*Q, (p+1)*Q) — the VF-wide accumulator tree of
+              compute_results, spmv.cpp:91-97, one emit per chunk)
     """
+    Q = CHUNK // P
     for t in range(tiles_per_step):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
         m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
@@ -86,17 +90,23 @@ def _spmv_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
                 g1 = jnp.where(grp == g, part, g1)
         g2 = jnp.take_along_axis(g1, j, axis=1)
         prod = val_ref[sl, :] * g2
-        out_ref[t, :] = jnp.sum(prod, axis=0)
+        if P == 1:
+            out_ref[t, :] = jnp.sum(prod, axis=0)
+        else:
+            for p in range(P):
+                out_ref[t * P + p, :] = jnp.sum(
+                    prod[p * Q:(p + 1) * Q, :], axis=0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tiles_per_step", "G", "n_steps",
+                   static_argnames=("tiles_per_step", "G", "n_steps", "P",
                                     "interpret"))
 def _gstream_chunk_sums(step_window, x2, values, meta, *,
                         tiles_per_step: int, G: int, n_steps: int,
-                        interpret: bool = False):
-    """Run the Pallas kernel over all steps; returns (n_tiles, 128) chunk
-    partial sums.  ``meta`` is the combined (cell << 7 | route) stream."""
+                        P: int = 1, interpret: bool = False):
+    """Run the Pallas kernel over all steps; returns (n_tiles*P, 128)
+    chunk partial sums.  ``meta`` is the combined (cell << 7 | route)
+    stream."""
     n_tiles = n_steps * tiles_per_step
     rows_per_step = tiles_per_step * CHUNK
 
@@ -109,15 +119,15 @@ def _gstream_chunk_sums(step_window, x2, values, meta, *,
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
             pl.BlockSpec((rows_per_step, LANES), lambda i, sw: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((tiles_per_step, LANES),
+        out_specs=pl.BlockSpec((tiles_per_step * P, LANES),
                                lambda i, sw: (i, 0)),
     )
     kernel = functools.partial(_spmv_kernel, tiles_per_step=tiles_per_step,
-                               G=G)
+                               G=G, P=P)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * P, LANES), x2.dtype),
         interpret=interpret,
     )(step_window, x2, values, meta)
 
@@ -287,7 +297,8 @@ class GStreamDevice:
         chunk_sums = _gstream_chunk_sums(
             self.step_window, x2, self.values, self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
-            n_steps=self.meta.n_steps, interpret=self.interpret)
+            n_steps=self.meta.n_steps, P=self.meta.planes,
+            interpret=self.interpret)
         return self.finish_vec(chunk_sums)
 
     def finish_vec(self, chunk_sums: jax.Array) -> jax.Array:
@@ -685,7 +696,8 @@ class _FLevel:
         return _gstream_chunk_sums(
             self.step_window, x2, self.values, self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
-            n_steps=self.meta.n_steps, interpret=self.interpret)
+            n_steps=self.meta.n_steps, P=self.meta.planes,
+            interpret=self.interpret)
 
 
 def spmv_gstream(packed: GStreamMatrix, x, interpret: bool = False):

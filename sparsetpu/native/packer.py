@@ -12,16 +12,16 @@ from .loader import _lib
 def _bind(lib):
     if getattr(lib, "_pack_bound", False):
         return lib
-    lib.stpu_pack_block.restype = ctypes.c_longlong
-    lib.stpu_pack_block.argtypes = [
+    lib.stpu_pack_block_q.restype = ctypes.c_longlong
+    lib.stpu_pack_block_q.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_longlong, ctypes.c_int32, ctypes.c_int,
+        ctypes.c_longlong, ctypes.c_int32, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_void_p),
     ]
-    lib.stpu_pack_copy.restype = None
-    lib.stpu_pack_copy.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    lib.stpu_pack_copy_q.restype = None
+    lib.stpu_pack_copy_q.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32),
     ]
@@ -31,33 +31,43 @@ def _bind(lib):
     return lib
 
 
+# First-fit window (open tiles tried per chunk).  Small quanta give each
+# chunk fewer slot choices, so the matcher needs more open tiles to keep
+# fill high: measured on the 10M-nnz headline matrix, Q=2 packs at fill
+# 0.21 with 8 open tiles but 0.92 with 64 (pack time ~2x, still seconds).
+DEFAULT_MAX_OPEN = {8: 16, 4: 32, 2: 64, 1: 64}
+
+
 def pack_block_native(prow, pcol, pval, preal, trap_row: int,
-                      max_open: int = 8):
+                      max_open: int = 0, q: int = 8):
     """Pack one column block's padded chunk stream; returns
     (values, cells, route, chunk_row) with the gather_stream layout."""
     lib = _bind(_lib())
+    if not max_open:
+        max_open = DEFAULT_MAX_OPEN.get(q, 16)
     prow = np.ascontiguousarray(prow, dtype=np.int32)
     pcol = np.ascontiguousarray(pcol, dtype=np.int32)
     pval = np.ascontiguousarray(pval, dtype=np.float32)
     preal = np.ascontiguousarray(preal, dtype=np.uint8)
     handle = ctypes.c_void_p()
-    n_tiles = lib.stpu_pack_block(
+    n_tiles = lib.stpu_pack_block_q(
         prow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         pcol.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         pval.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         preal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_longlong(prow.shape[0]), ctypes.c_int32(trap_row),
-        ctypes.c_int(max_open), ctypes.byref(handle))
+        ctypes.c_int(max_open), ctypes.c_int(q), ctypes.byref(handle))
     if n_tiles < 0:
-        raise RuntimeError("stpu_pack_block failed")
+        raise RuntimeError("stpu_pack_block_q failed")
     n_tiles = int(n_tiles)
+    planes = 8 // q
     values = np.empty((n_tiles * 8, 128), dtype=np.float32)
     cells = np.empty((n_tiles * 8, 128), dtype=np.int16)
     route = np.empty((n_tiles * 8, 128), dtype=np.int16)
-    chunk_row = np.empty((n_tiles, 128), dtype=np.int32)
+    chunk_row = np.empty((n_tiles * planes, 128), dtype=np.int32)
     try:
-        lib.stpu_pack_copy(
-            handle,
+        lib.stpu_pack_copy_q(
+            handle, ctypes.c_int(q),
             values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             route.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

@@ -18,15 +18,20 @@ Layout
   Pallas pipeline (the per-CU BRAM x-copy of spmv.cpp:180-192, but
   double-buffered by the compiler).
 * Within a (row x window) intersection, each row's nnz are padded to a
-  multiple of 8 (the reference pads rows to VF, csr_hw.cpp:108-114).
-  Each aligned group of 8 is a **chunk**; a chunk belongs to exactly one
+  multiple of the **quantum Q** (the reference pads rows to VF,
+  csr_hw.cpp:108-114 — Q is the VF knob, Q in {1, 2, 4, 8}).  Each
+  aligned group of Q is a **chunk**; a chunk belongs to exactly one
   row, so per-chunk partial sums never straddle rows.
-* 128 chunks form a **tile**: element (chunk ``l``, slot ``s``) sits at
-  stream position (sublane ``s``, lane ``l``) of an (8, 128) tile.  The
-  chunk partial sum is then a free sum over the sublane axis, and the
+* P = 8/Q **planes** of 128 chunks form a **tile**: the chunk at
+  within-tile index w = plane*128 + lane spans sublanes
+  [plane*Q, (plane+1)*Q) of lane ``lane``.  The chunk partial sums are
+  then P free partial sums over the sublane axis, and the
   end-of-row-flag scan of the reference (spmv.cpp:99) becomes a
   precomputed chunk->row map (the empty-rows bitmap of csr_hw.cpp:340-347
-  is subsumed: empty rows simply have no chunks).
+  is subsumed: empty rows simply have no chunks).  Small Q trades more
+  output planes (and a tighter slot assignment) for far less padding on
+  matrices whose (row, window) runs are short — the scattered-row case
+  the 8-slot quantum packed at fill 0.35.
 * **Residue matching**: for the sublane gather, every element must expose
   its x-stripe index at cell (s, r) where ``r = local_col % 128`` is its
   lane residue.  Elements of one chunk may permute freely across the 8
@@ -39,7 +44,8 @@ Arrays produced (n = number of (8,128) tiles, padded to tiles_per_step):
   values      (n*8, 128) value dtype          stream layout
   cell_idx    (n*8, 128) int16   per-cell local stripe index in [0, 8G)
   route       (n*8, 128) int8    per-stream-position residue in [0, 128)
-  chunk_row   (n, 128)   int32   global row per chunk (nr_rows = pad trap)
+  chunk_row   (n*P, 128) int32   global row per chunk, plane-major per
+                                 tile (nr_rows = pad trap)
   step_window (n_steps,) int32   column-block index per grid step (the
                                  x-window staged for that step is block-row
                                  ``step_window[i]`` of x2 viewed in (8G, 128)
@@ -57,11 +63,12 @@ from ..formats.csr import CSRMatrix
 from ..utils.config import LANES, SUBLANES, SpmvConfig
 
 STRIPE = LANES                      # 128 columns per x stripe
-CHUNK = SUBLANES                    # 8 nnz per chunk (row padding quantum)
-TILE_CHUNKS = LANES                 # 128 chunks per (8, 128) tile
+CHUNK = SUBLANES                    # default row padding quantum (Q=8)
+TILE_CHUNKS = LANES                 # chunks per plane of an (8, 128) tile
 TILE_NNZ = CHUNK * TILE_CHUNKS      # 1024 elements per tile
 DEFAULT_TILES_PER_STEP = 16         # tiles per Pallas grid step
 MAX_G = 32                          # window groups cap => W <= 32768 cols
+VALID_Q = (1, 2, 4, 8)              # row-pad quantum (VF, util.h:31-39)
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: usable as static jit aux
@@ -71,7 +78,7 @@ class GStreamMatrix:
     values: np.ndarray       # (n_tiles*8, 128)
     cell_idx: np.ndarray     # (n_tiles*8, 128) int16
     route: np.ndarray        # (n_tiles*8, 128) int8
-    chunk_row: np.ndarray    # (n_tiles, 128) int32
+    chunk_row: np.ndarray    # (n_tiles*P, 128) int32, plane-major
     step_window: np.ndarray  # (n_steps,) int32
     nr_rows: int
     nr_cols: int
@@ -80,10 +87,16 @@ class GStreamMatrix:
     tiles_per_step: int
     padded_cols: int         # nr_cols padded to window multiple
     sections: np.ndarray = None  # (n_blocks, 2) tile ranges per col block
+    Q: int = CHUNK           # row-pad quantum (VF knob, util.h:31-39)
+
+    @property
+    def planes(self) -> int:
+        """Chunk-sum planes per tile (P = 8/Q)."""
+        return CHUNK // self.Q
 
     @property
     def n_tiles(self) -> int:
-        return int(self.chunk_row.shape[0])
+        return int(self.chunk_row.shape[0]) // self.planes
 
     @property
     def n_steps(self) -> int:
@@ -121,9 +134,10 @@ class GStreamMatrix:
 # pack passes
 # ---------------------------------------------------------------------------
 
-def _pad_rows_to_chunks(sub_rows, sub_cols, sub_vals):
-    """Pad each row's nnz run to a multiple of CHUNK (csr_hw.cpp:229-255
-    analogue).  Input is row-major sorted; returns flat padded
+def _pad_rows_to_chunks(sub_rows, sub_cols, sub_vals, q: int = CHUNK):
+    """Pad each row's nnz run to a multiple of the quantum ``q``
+    (csr_hw.cpp:229-255 analogue; q is the VF row pad, csr_hw.cpp:108-114).
+    Input is row-major sorted; returns flat padded
     (row, local_col, val, is_real) arrays.  Pad elements reuse the row's
     first column so their gather stays in-window."""
     # sub_rows is row-major sorted: run-length encode instead of np.unique
@@ -137,7 +151,7 @@ def _pad_rows_to_chunks(sub_rows, sub_cols, sub_vals):
     else:
         rows_u = sub_rows
         counts = np.zeros(0, dtype=np.int64)
-    padded_counts = (-(-counts // CHUNK) * CHUNK).astype(np.int64)
+    padded_counts = (-(-counts // q) * q).astype(np.int64)
     total = int(padded_counts.sum())
     out_row = np.repeat(rows_u, padded_counts).astype(np.int32)
     out_col = np.zeros(total, dtype=np.int32)
@@ -158,33 +172,39 @@ def _pad_rows_to_chunks(sub_rows, sub_cols, sub_vals):
     return out_row, out_col, out_val, is_real
 
 
-def _match_tiles(n_tiles, local_chunk, rank, res, stripe, active):
+def _match_tiles(n_tiles, local_chunk, rank, res, stripe, active,
+                 q: int = CHUNK):
     """Slot assignment: per (tile, sublane) distinct residues; equal
     (stripe, residue) pairs share a cell.  Vectorized greedy — attempt k
-    proposes slot (rank + k) % 8; a contended free cell goes to the
+    proposes slot (rank + k) % q; a contended free cell goes to the
     minimum-stripe contender; losers retry with the next slot.
 
-    Only ``active`` elements (real nnz) claim cells; returns slot (-1 for
-    unplaced/inactive) per element."""
+    With quantum q < 8 a chunk owns only the q sublanes of its plane
+    (plane-major within the tile), so its slot choices map to absolute
+    sublanes plane*q + slot.  Only ``active`` elements (real nnz) claim
+    cells; returns slot (-1 for unplaced/inactive) per element."""
     n = res.shape[0]
+    p_planes = CHUNK // q
     slot = np.full(n, -1, dtype=np.int8)
     cell_stripe = np.full(n_tiles * CHUNK * LANES, -1, dtype=np.int64)
-    tile_of = local_chunk // TILE_CHUNKS
+    tile_of = local_chunk // (TILE_CHUNKS * p_planes)
+    plane_of = (local_chunk % (TILE_CHUNKS * p_planes)) // TILE_CHUNKS
+    sub_base = tile_of * CHUNK + plane_of * q   # absolute sublane base
     n_chunks_local = int(local_chunk.max()) + 1 if n else 0
-    chunk_slot_used = np.zeros((n_chunks_local, CHUNK), dtype=bool)
+    chunk_slot_used = np.zeros((n_chunks_local, q), dtype=bool)
     contender = np.empty(cell_stripe.shape[0], dtype=np.int64)
-    for attempt in range(CHUNK):
+    for attempt in range(q):
         un = active & (slot < 0)
         if not un.any():
             break
         idx = np.flatnonzero(un)
-        cand_s = (rank[idx] + attempt) % CHUNK
+        cand_s = (rank[idx] + attempt) % q
         # a chunk-mate may already hold this slot from an earlier attempt
         avail = ~chunk_slot_used[local_chunk[idx], cand_s]
         idx, cand_s = idx[avail], cand_s[avail]
         if idx.shape[0] == 0:
             continue
-        key = (tile_of[idx] * CHUNK + cand_s) * LANES + res[idx]
+        key = (sub_base[idx] + cand_s) * LANES + res[idx]
         st = stripe[idx]
         cur = cell_stripe[key]
         accept = cur == st                      # share an existing cell
@@ -201,12 +221,12 @@ def _match_tiles(n_tiles, local_chunk, rank, res, stripe, active):
     return slot
 
 
-def _fill_free_slots(slot, active):
+def _fill_free_slots(slot, active, q: int = CHUNK):
     """Assign slot-less (pad / unplaced) elements the slots left free in
     their chunk, so no real element's stream position is clobbered."""
-    nc = slot.shape[0] // CHUNK
-    sl2 = slot.reshape(nc, CHUNK)
-    used = np.zeros((nc, CHUNK), dtype=bool)
+    nc = slot.shape[0] // q
+    sl2 = slot.reshape(nc, q)
+    used = np.zeros((nc, q), dtype=bool)
     taken = sl2 >= 0
     used[np.nonzero(taken)[0], sl2[taken].astype(np.int64)] = True
     # free slots first (stable argsort of the used mask)
@@ -218,41 +238,44 @@ def _fill_free_slots(slot, active):
 
 
 def _materialize(chunks_el_row, pcol, pval, preal, slot, local_chunk,
-                 nr_rows, value_dtype):
+                 nr_rows, value_dtype, q: int = CHUNK):
     """Build (values, cell_idx, route, chunk_row) tile arrays from a fully
-    matched element set."""
-    n_el = slot.shape[0]
-    nc = n_el // CHUNK
-    n_t = int(local_chunk.max() // TILE_CHUNKS) + 1
+    matched element set.  chunk_row is (n_t * P, 128) plane-major."""
+    p_planes = CHUNK // q
+    cpt = TILE_CHUNKS * p_planes                  # chunks per tile
+    n_t = int(local_chunk.max() // cpt) + 1
     res = (pcol % STRIPE).astype(np.int64)
     stripe = (pcol // STRIPE).astype(np.int64)
 
     vals = np.zeros((n_t, CHUNK, LANES), dtype=value_dtype)
     cells = np.zeros((n_t, CHUNK, LANES), dtype=np.int16)
     route = np.zeros((n_t, CHUNK, LANES), dtype=np.int8)
-    rowmap = np.full((n_t, LANES), nr_rows, dtype=np.int32)
+    rowmap = np.full((n_t * p_planes, LANES), nr_rows, dtype=np.int32)
 
-    tile_of = (local_chunk // TILE_CHUNKS).astype(np.int64)
+    tile_of = (local_chunk // cpt).astype(np.int64)
+    plane_of = ((local_chunk % cpt) // TILE_CHUNKS).astype(np.int64)
     lane_of = (local_chunk % TILE_CHUNKS).astype(np.int64)
-    s = slot.astype(np.int64)
+    s = plane_of * q + slot.astype(np.int64)      # absolute sublane
     vals[tile_of, s, lane_of] = np.where(preal, pval, 0).astype(value_dtype)
     route[tile_of, s, lane_of] = res
     real = np.flatnonzero(preal)
     cells[tile_of[real], s[real], res[real]] = stripe[real]
     # chunk -> row map (one row per chunk by construction)
-    lc_c = local_chunk[::CHUNK]
-    rowmap[lc_c // TILE_CHUNKS, lc_c % TILE_CHUNKS] = chunks_el_row
+    lc_c = local_chunk[::q]
+    rowmap[(lc_c // cpt) * p_planes + (lc_c % cpt) // TILE_CHUNKS,
+           lc_c % TILE_CHUNKS] = chunks_el_row
     return vals, cells, route, rowmap
 
 
-def _rechunk_by_row(rows, cols, vals):
+def _rechunk_by_row(rows, cols, vals, q: int = CHUNK):
     """Group loose (row, col, val) elements into fresh single-row chunks,
-    zero-padding each row's run to a CHUNK multiple."""
+    zero-padding each row's run to a quantum multiple."""
     order = np.argsort(rows, kind="stable")
-    return _pad_rows_to_chunks(rows[order], cols[order], vals[order])
+    return _pad_rows_to_chunks(rows[order], cols[order], vals[order], q)
 
 
-def _pack_block(prow, pcol, pval, preal, nr_rows, value_dtype):
+def _pack_block(prow, pcol, pval, preal, nr_rows, value_dtype,
+                q: int = CHUNK):
     """Chunk + tile + residue-match one column block.  Returns stacked
     (values, cell_idx, route, chunk_row) arrays for the block's tiles.
 
@@ -262,26 +285,29 @@ def _pack_block(prow, pcol, pval, preal, nr_rows, value_dtype):
     so this converges quickly (the reference's analogous fallback is row
     padding, csr_hw.cpp:246-255 — here padding is the fallback, not the
     default)."""
+    p_planes = CHUNK // q
+    cpt = TILE_CHUNKS * p_planes
     parts: List[Tuple[np.ndarray, ...]] = []
     cur = (prow, pcol, pval, preal)
     prev_unplaced = None
     while cur[0].shape[0] > 0:
         qrow, qcol, qval, qreal = cur
         n_el = qrow.shape[0]
-        assert n_el % CHUNK == 0
-        nc = n_el // CHUNK
-        local_chunk = np.repeat(np.arange(nc, dtype=np.int64), CHUNK)
-        n_t = -(-nc // TILE_CHUNKS)
+        assert n_el % q == 0
+        nc = n_el // q
+        local_chunk = np.repeat(np.arange(nc, dtype=np.int64), q)
+        n_t = -(-nc // cpt)
         res = (qcol % STRIPE).astype(np.int64)
         stripe = (qcol // STRIPE).astype(np.int64)
-        rank = np.arange(n_el, dtype=np.int64) % CHUNK
-        slot = _match_tiles(n_t, local_chunk, rank, res, stripe, qreal)
+        rank = np.arange(n_el, dtype=np.int64) % q
+        slot = _match_tiles(n_t, local_chunk, rank, res, stripe, qreal, q)
         unplaced = qreal & (slot < 0)
         n_un = int(unplaced.sum())
         if prev_unplaced is not None and n_un >= prev_unplaced:
             # no progress: spread the stragglers one chunk per tile
-            local_chunk = local_chunk * TILE_CHUNKS
-            slot = _match_tiles(nc, local_chunk, rank, res, stripe, qreal)
+            local_chunk = local_chunk * cpt
+            slot = _match_tiles(nc, local_chunk, rank, res, stripe, qreal,
+                                q)
             if (qreal & (slot < 0)).any():
                 raise AssertionError(
                     "single-chunk-per-tile matching must always succeed")
@@ -289,14 +315,15 @@ def _pack_block(prow, pcol, pval, preal, nr_rows, value_dtype):
             n_un = 0
         # materialize this round's placements (holes stay zero-padded)
         placed_mask = ~unplaced
-        slot = _fill_free_slots(np.where(unplaced, -1, slot), ~unplaced)
-        parts.append(_materialize(qrow[::CHUNK], qcol, qval,
+        slot = _fill_free_slots(np.where(unplaced, -1, slot), ~unplaced, q)
+        parts.append(_materialize(qrow[::q], qcol, qval,
                                   qreal & placed_mask, slot, local_chunk,
-                                  nr_rows, value_dtype))
+                                  nr_rows, value_dtype, q))
         if n_un == 0:
             break
         prev_unplaced = n_un
-        cur = _rechunk_by_row(qrow[unplaced], qcol[unplaced], qval[unplaced])
+        cur = _rechunk_by_row(qrow[unplaced], qcol[unplaced],
+                              qval[unplaced], q)
 
     vals = np.concatenate([p[0] for p in parts], axis=0)
     cells = np.concatenate([p[1] for p in parts], axis=0)
@@ -314,23 +341,18 @@ def _native_pack_block():
         return None
 
 
-# Measured on TPU v5e at tiles_per_step=128 with the production fused
-# int16 meta stream: slot throughput of the dual-gather kernel vs
-# window-group count G.  The select chain costs ~linearly in G, while
-# smaller windows pad short (row, window) nnz runs to the 8-slot chunk —
-# the pack picks G minimizing predicted time.
-_RATE_GSLOT = {1: 119.0, 2: 120.0, 4: 115.0, 8: 109.0, 16: 88.0,
-               32: 51.0}
+def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
+                   q_candidates=(2, 4, 8)) -> Tuple[int, int]:
+    """Pick the column-window group count G and the row-pad quantum Q
+    jointly from the (row, window) nnz histogram: predicted time =
+    slot count (including per-block tile padding to tiles_per_step
+    multiples and an empirical matching-spill inflation per Q) over the
+    measured slot rate, plus a finish term per chunk (more chunks =
+    more reduction children).  Rates come from pack.rates (device-keyed,
+    autotune-refreshable)."""
+    from .rates import slot_rate, MATCH_INFLATION, FINISH_NS_PER_CHILD
 
-
-def _choose_G(matrix: CSRMatrix, tiles_per_step: int = 128) -> int:
-    """Pick the column-window group count G from the (row, window) nnz
-    histogram: total slots at each G — including the per-block padding of
-    tile counts to tiles_per_step multiples, which dominates when blocks
-    are many and small — over the measured slot rate."""
     need = max(1, -(-matrix.nr_cols // (CHUNK * STRIPE)))
-    if need <= 4:
-        return min(MAX_G, need)
     w0 = 4 * CHUNK * STRIPE                     # finest candidate window
     nb0 = -(-matrix.nr_cols // w0)
     # sample a row prefix (~2M nnz) — the histogram shape, not its scale,
@@ -346,40 +368,56 @@ def _choose_G(matrix: CSRMatrix, tiles_per_step: int = 128) -> int:
     key = rows_all * nb0 + matrix.col_ind[:end_nnz].astype(np.int64) // w0
     uk, counts = np.unique(key, return_counts=True)
     urow, uw = uk // nb0, uk % nb0
-    best_g, best_t = None, None
-    for g in (4, 8, 16, 32):
-        if g > MAX_G:
-            continue
-        f = g // 4
-        nb = -(-nb0 // f)
-        key2 = urow * nb + uw // f
-        u2, inv = np.unique(key2, return_inverse=True)
-        c2 = np.zeros(u2.shape[0], dtype=np.int64)
-        np.add.at(c2, inv, counts)
-        chunks_pair = -(-c2 // CHUNK)
-        # per-block tile counts, padded to the grid step quantum
+    best, best_t = None, None
+    for g in (1, 2, 4, 8, 16, 32):
+        break_after = g >= need  # one window covers all cols: stop after
+
+        if g < 4:
+            if g < need and need > 4:
+                continue        # tiny windows only for tiny matrices
+            nb = max(1, -(-matrix.nr_cols // (g * CHUNK * STRIPE)))
+            key2 = rows_all * nb + (matrix.col_ind[:end_nnz].astype(
+                np.int64) // (g * CHUNK * STRIPE))
+            u2, c2 = np.unique(key2, return_counts=True)
+        else:
+            f = g // 4
+            nb = -(-nb0 // f)
+            key2 = urow * nb + uw // f
+            u2, inv = np.unique(key2, return_inverse=True)
+            c2 = np.zeros(u2.shape[0], dtype=np.int64)
+            np.add.at(c2, inv, counts)
         blk_of_pair = (u2 % nb).astype(np.int64)
-        chunks_blk = np.bincount(blk_of_pair, weights=chunks_pair,
-                                 minlength=1)
-        nz = chunks_blk[chunks_blk > 0]
-        tiles_blk = -(-nz // TILE_CHUNKS)
-        tiles_pad = (-(-tiles_blk // tiles_per_step)) * tiles_per_step
-        slots = int(tiles_pad.sum()) * TILE_NNZ
-        t = slots / _RATE_GSLOT[g]
-        if best_t is None or t < best_t:
-            best_g, best_t = g, t
-        if g >= need:                           # one window covers all cols
+        for q in q_candidates:
+            p_planes = CHUNK // q
+            chunks_pair = -(-c2 // q)
+            chunks_blk = np.bincount(blk_of_pair, weights=chunks_pair,
+                                     minlength=1)
+            nz = chunks_blk[chunks_blk > 0]
+            tiles_blk = -(-nz // (TILE_CHUNKS * p_planes))
+            tiles_pad = (-(-tiles_blk // tiles_per_step)) * tiles_per_step
+            slots = int(tiles_pad.sum()) * TILE_NNZ * MATCH_INFLATION[q]
+            children = float(chunks_pair.sum())
+            t = slots / slot_rate(g, q) + children * FINISH_NS_PER_CHILD
+            if best_t is None or t < best_t:
+                best, best_t = (g, q), t
+        if break_after:
             break
-    return best_g
+    return best
 
 
 def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  tiles_per_step: Optional[int] = None,
                  value_dtype=np.float32, use_native: bool = True,
                  shuffle_lanes: bool = True,
-                 G: Optional[int] = None) -> GStreamMatrix:
+                 G: Optional[int] = None,
+                 Q: Optional[int] = None) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
-    csr_hw.cpp:377-1398, collapsed to one parameterized routine)."""
+    csr_hw.cpp:377-1398, collapsed to one parameterized routine).
+
+    ``Q`` is the row-pad quantum — the reference's VF unroll knob
+    (util.h:31-39): rows' per-window nnz runs pad to a Q multiple and
+    the kernel emits 8/Q chunk-sum planes per tile.  Defaults to the
+    config's ``vf`` if set (> 0), else model-chosen jointly with G."""
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
     if tiles_per_step is None:
         # bigger steps amortize the Pallas pipeline: T=128 (1.5 MB blocks)
@@ -392,8 +430,15 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
             tiles_per_step = 32
         else:
             tiles_per_step = 8
-    if G is None:
-        G = _choose_G(matrix, tiles_per_step)
+    if Q is None and config is not None and config.vf:
+        Q = config.vf
+    if G is None or Q is None:
+        g_m, q_m = _choose_layout(matrix, tiles_per_step)
+        G = G if G is not None else g_m
+        Q = Q if Q is not None else q_m
+    if Q not in VALID_Q:
+        raise ValueError(f"Q must be one of {VALID_Q}, got {Q}")
+    P = CHUNK // Q
     W = G * CHUNK * STRIPE
     n_blocks = max(1, -(-nr_cols // W))
     padded_cols = n_blocks * W
@@ -412,7 +457,7 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         all_v.append(np.zeros((k * CHUNK, LANES), dtype=value_dtype))
         all_c.append(np.zeros((k * CHUNK, LANES), dtype=np.int16))
         all_r.append(np.zeros((k * CHUNK, LANES), dtype=np.int8))
-        all_m.append(np.full((k, LANES), nr_rows, dtype=np.int32))
+        all_m.append(np.full((k * P, LANES), nr_rows, dtype=np.int32))
 
     if n_blocks > 1:
         # one stable sort by window (keeps row-major order inside each
@@ -433,18 +478,19 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         if brows.shape[0] == 0:
             continue
         local = (bcols - b * W).astype(np.int32)
-        prow, pcol, pval, preal = _pad_rows_to_chunks(brows, local, bvals)
+        prow, pcol, pval, preal = _pad_rows_to_chunks(brows, local, bvals,
+                                                      Q)
         if native is not None:
             v, c, r, mm = native(prow, pcol,
                                  pval.astype(np.float32, copy=False),
-                                 preal, nr_rows)
+                                 preal, nr_rows, q=Q)
             v = v.reshape(-1, CHUNK, LANES)
             c = c.reshape(-1, CHUNK, LANES)
             r = r.reshape(-1, CHUNK, LANES)
         else:
             v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
-                                      value_dtype)
-        nt = mm.shape[0]
+                                      value_dtype, Q)
+        nt = v.shape[0]
         all_v.append(v.reshape(nt * CHUNK, LANES))
         all_c.append(c.reshape(nt * CHUNK, LANES))
         all_r.append(r.reshape(nt * CHUNK, LANES))
@@ -466,67 +512,68 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
     route = np.concatenate(all_r, axis=0)
     chunk_row = np.concatenate(all_m, axis=0)
     if shuffle_lanes:
-        _shuffle_chunk_lanes(values, route, chunk_row)
+        _shuffle_chunk_lanes(values, route, chunk_row, q=Q)
 
     return GStreamMatrix(
         values=values, cell_idx=cell_idx, route=route, chunk_row=chunk_row,
         step_window=np.asarray(step_win, dtype=np.int32),
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=matrix.nr_nzeros,
         G=G, tiles_per_step=tiles_per_step, padded_cols=padded_cols,
-        sections=np.asarray(sections, dtype=np.int64).reshape(-1, 2))
+        sections=np.asarray(sections, dtype=np.int64).reshape(-1, 2),
+        Q=Q)
 
 
-def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed):
-    """Randomly permute chunk lanes within every tile, in place.
+def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed,
+                         q: int = CHUNK):
+    """Randomly permute chunk lanes within every tile plane, in place.
 
     A chunk's lane is free (the x-gather cells are indexed by element
-    residue, not by lane), but the chunk's *position* pos = tile*128 + lane
-    is the column index seen by the reduction (F) levels.  Row-major
-    packing gives a row's chunks consecutive positions -> consecutive
-    residues -> catastrophic cell conflicts when the F level packs them
-    (measured fill 0.23).  A per-tile random lane permutation makes F-level
-    residues uniform (fill back to ~0.85) at zero kernel cost."""
-    n_tiles = chunk_row.shape[0]
+    residue, not by lane), but the chunk's *position*
+    pos = (tile*P + plane)*128 + lane is the column index seen by the
+    reduction (F) levels.  Row-major packing gives a row's chunks
+    consecutive positions -> consecutive residues -> catastrophic cell
+    conflicts when the F level packs them (measured fill 0.23).  A
+    per-plane random lane permutation makes F-level residues uniform
+    (fill back to ~0.85) at zero kernel cost."""
+    p_planes = CHUNK // q
+    n_tiles = chunk_row.shape[0] // p_planes
     rng = np.random.default_rng(seed)
-    # one batched permutation matrix: argsort of random keys per tile
-    perm = np.argsort(rng.random((n_tiles, TILE_CHUNKS)), axis=1)
-    v3 = values.reshape(n_tiles, CHUNK, LANES)
-    r3 = route.reshape(n_tiles, CHUNK, LANES)
-    idx = perm[:, None, :]
-    v3[...] = np.take_along_axis(v3, idx, axis=2)
-    r3[...] = np.take_along_axis(r3, idx, axis=2)
-    chunk_row[...] = np.take_along_axis(chunk_row, perm, axis=1)
+    # one batched permutation matrix per plane: argsort of random keys
+    perm = np.argsort(rng.random((n_tiles, p_planes, TILE_CHUNKS)), axis=2)
+    v4 = values.reshape(n_tiles, p_planes, q, LANES)
+    r4 = route.reshape(n_tiles, p_planes, q, LANES)
+    idx = perm[:, :, None, :]
+    v4[...] = np.take_along_axis(v4, idx, axis=3)
+    r4[...] = np.take_along_axis(r4, idx, axis=3)
+    m3 = chunk_row.reshape(n_tiles, p_planes, LANES)
+    m3[...] = np.take_along_axis(m3, perm, axis=2)
 
 
 def unpack_gstream(p: GStreamMatrix) -> CSRMatrix:
     """Inverse of pack (delete_csr_hw_matrix-adjacent capability: the
     packed format is self-describing, enabling serialization round-trips).
 
-    Reconstructs CSR by replaying the dual-gather semantics on the host.
-    """
+    Reconstructs CSR by replaying the dual-gather semantics on the host,
+    fully vectorized (one pass over the tile arrays, no per-tile loop)."""
     n_t = p.n_tiles
     W = p.window_cols
+    P = p.planes
     vals = p.values.reshape(n_t, CHUNK, LANES)
     cells = p.cell_idx.reshape(n_t, CHUNK, LANES).astype(np.int64)
     route = p.route.reshape(n_t, CHUNK, LANES).astype(np.int64)
-    tiles_per_step = p.tiles_per_step
-    rows, cols, data = [], [], []
-    for t in range(n_t):
-        step = t // tiles_per_step
-        win_base_cols = int(p.step_window[step]) * W
-        # local col of element (s, l) = cell stripe at (s, route) * 128 + route
-        r = route[t]
-        stripe = np.take_along_axis(cells[t], r, axis=1)
-        local_col = stripe * STRIPE + r
-        v = vals[t]
-        rowm = np.repeat(p.chunk_row[t][None, :], CHUNK, axis=0)
-        nzmask = (v != 0) & (rowm < p.nr_rows)
-        rows.append(rowm[nzmask])
-        cols.append(local_col[nzmask] + win_base_cols)
-        data.append(v[nzmask])
-    if not rows:
+    # local col of element (t, s, l) = cell stripe at (t, s, route)*128+route
+    stripe = np.take_along_axis(cells, route, axis=2)
+    local_col = stripe * STRIPE + route
+    # global column: window base of the tile's grid step
+    win_of_tile = p.step_window[
+        np.arange(n_t, dtype=np.int64) // p.tiles_per_step].astype(np.int64)
+    col = local_col + (win_of_tile * W)[:, None, None]
+    # row of element (t, s, l): chunk_row plane s // Q of the tile
+    rowm = np.repeat(p.chunk_row.reshape(n_t, P, LANES), p.Q, axis=1)
+    nzmask = (vals != 0) & (rowm < p.nr_rows)
+    if not nzmask.any():
         return CSRMatrix(np.zeros(p.nr_rows + 1, np.int32),
                          np.zeros(0, np.int32),
                          np.zeros(0, p.values.dtype), p.nr_rows, p.nr_cols)
-    return CSRMatrix.from_coo(np.concatenate(rows), np.concatenate(cols),
-                              np.concatenate(data), p.nr_rows, p.nr_cols)
+    return CSRMatrix.from_coo(rowm[nzmask], col[nzmask], vals[nzmask],
+                              p.nr_rows, p.nr_cols)

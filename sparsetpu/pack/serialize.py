@@ -15,12 +15,22 @@ import numpy as np
 from .gather_stream import GStreamMatrix
 
 
+def _meta_vec(p) -> np.ndarray:
+    return np.array([p.nr_rows, p.nr_cols, p.nr_nzeros, p.G,
+                     p.tiles_per_step, p.padded_cols, p.Q],
+                    dtype=np.int64)
+
+
+def _meta_q(meta) -> int:
+    # archives written before the Q (VF quantum) field carry 6 entries
+    return int(meta[6]) if meta.shape[0] > 6 else 8
+
+
 def save_gstream(path: str, p: GStreamMatrix) -> None:
     np.savez_compressed(
         path, values=p.values, cell_idx=p.cell_idx, route=p.route,
         chunk_row=p.chunk_row, step_window=p.step_window,
-        meta=np.array([p.nr_rows, p.nr_cols, p.nr_nzeros, p.G,
-                       p.tiles_per_step, p.padded_cols], dtype=np.int64))
+        meta=_meta_vec(p))
 
 
 def load_gstream(path: str) -> GStreamMatrix:
@@ -31,7 +41,7 @@ def load_gstream(path: str) -> GStreamMatrix:
         chunk_row=z["chunk_row"], step_window=z["step_window"],
         nr_rows=int(meta[0]), nr_cols=int(meta[1]), nr_nzeros=int(meta[2]),
         G=int(meta[3]), tiles_per_step=int(meta[4]),
-        padded_cols=int(meta[5]))
+        padded_cols=int(meta[5]), Q=_meta_q(meta))
 
 
 def save_device(path: str, device) -> None:
@@ -42,10 +52,7 @@ def save_device(path: str, device) -> None:
         "meta16": np.asarray(device.meta16),
         "step_window": np.asarray(device.step_window),
         "chunk_row": device.meta.chunk_row,
-        "meta": np.array([device.meta.nr_rows, device.meta.nr_cols,
-                          device.meta.nr_nzeros, device.meta.G,
-                          device.meta.tiles_per_step,
-                          device.meta.padded_cols], dtype=np.int64),
+        "meta": _meta_vec(device.meta),
         "n_flevels": np.array([len(device.finish)]),
     }
     for i, f in enumerate(device.finish):
@@ -55,9 +62,7 @@ def save_device(path: str, device) -> None:
         arrs[f"f{i}_route"] = fp.route
         arrs[f"f{i}_chunk_row"] = fp.chunk_row
         arrs[f"f{i}_step_window"] = fp.step_window
-        arrs[f"f{i}_meta"] = np.array(
-            [fp.nr_rows, fp.nr_cols, fp.nr_nzeros, fp.G,
-             fp.tiles_per_step, fp.padded_cols], dtype=np.int64)
+        arrs[f"f{i}_meta"] = _meta_vec(fp)
     fin = device.final
     if fin is not None:
         arrs["fin_step_meta"] = np.asarray(fin.step_meta)
@@ -98,7 +103,7 @@ def load_device(path: str, interpret: bool = False):
             step_window=z[f"{prefix}step_window"],
             nr_rows=int(mm[0]), nr_cols=int(mm[1]), nr_nzeros=int(mm[2]),
             G=int(mm[3]), tiles_per_step=int(mm[4]),
-            padded_cols=int(mm[5]))
+            padded_cols=int(mm[5]), Q=_meta_q(mm))
 
     d = object.__new__(GStreamDevice)
     d.meta = gs()

@@ -33,7 +33,7 @@ MAX_BLOCK_COLS = 1 << 15  # 32768 == COLS_DIV_BLOCKS for CU<=8 (util.h:43-58)
 # the BRAM-capacity-derived COLS_DIV_BLOCKS (util.h:43-58).
 DEFAULT_BLOCK_COLS = MAX_BLOCK_COLS
 
-VALID_VF = (1, 2, 4, 8)                 # util.h:31-39
+VALID_VF = (0, 1, 2, 4, 8)              # util.h:31-39 (0 = auto-choose)
 VALID_CU_REFERENCE = (1, 2, 4, 8, 10, 12)  # util.h:41-59 (we accept any >=1)
 
 
@@ -46,28 +46,29 @@ class SpmvConfig:
                               emulated with two-float arithmetic (no native
                               f64 MXU/VPU); on CPU it is native.
       * ``vf``             <- VF unroll factor of the MAC pipeline
-                              (util.h:31-39).  In the TPU kernel this selects
-                              the accumulator unroll depth; kept mostly for
-                              parity experiments since the VPU is always
-                              8x128-wide.
+                              (util.h:31-39): the GStream row-pad quantum Q.
+                              Rows' per-window nnz runs pad to a multiple of
+                              vf and the kernel emits 8/vf chunk-sum planes
+                              per tile (the VF-wide accumulator tree of
+                              spmv.cpp:91-97).  0 (default) = chosen per
+                              matrix by the pack cost model.
       * ``num_partitions`` <- CU compute units (util.h:41-59): how many
                               nnz-balanced row partitions the matrix is split
                               into (Pallas grid dimension / shard count).
       * ``block_cols``     <- COLS_DIV_BLOCKS 2D column-block width
                               (util.h:43-58): the x-vector tile staged in
                               VMEM, like the per-CU BRAM x buffer.
-      * ``sigma``          <- NEW: SELL-style row-sorting window used by the
-                              TPU-native pack (no reference analogue; the
-                              reference's serial pipeline tolerates arbitrary
-                              row lengths, a SIMD target must bin them).
+      * ``interpret``      <- TARGET=emu (Makefile:11): run the Pallas
+                              kernels in interpreter mode (the SDSoC
+                              emulator analogue); honored by SparseMatrix
+                              when its ``interpret`` argument is None.
     """
 
     dtype: np.dtype = np.dtype(np.float64)
-    vf: int = 1
+    vf: int = 0
     num_partitions: int = 1
     block_cols: int = DEFAULT_BLOCK_COLS
-    sigma: Optional[int] = None      # None => sort rows globally per partition
-    interpret: bool = False          # run Pallas kernels in interpreter mode
+    interpret: Optional[bool] = None  # None => auto (emu off-TPU)
 
     def __post_init__(self):
         if self.vf not in VALID_VF:

@@ -19,15 +19,18 @@ def dump_tiles(packed, start: int = 0, count: int = 1, lanes: int = 8,
     vals = packed.values.reshape(n_tiles, 8, 128)
     cells = packed.cell_idx.reshape(n_tiles, 8, 128)
     route = packed.route.reshape(n_tiles, 8, 128)
-    rows = packed.chunk_row
+    P = packed.planes
+    rows = packed.chunk_row.reshape(n_tiles, P, 128)
     out = []
     for t in range(start, min(start + count, n_tiles)):
         out.append(f"tile {t} (window step {t // packed.tiles_per_step}, "
                    f"x-window {packed.step_window[t // packed.tiles_per_step]})")
-        out.append("  chunk rows: "
-                   + " ".join(f"{int(r)}" if r != packed.nr_rows else "-"
-                              for r in rows[t, :lanes])
-                   + (" ..." if lanes < 128 else ""))
+        for p in range(P):
+            out.append(f"  chunk rows (plane {p}): "
+                       + " ".join(f"{int(r)}" if r != packed.nr_rows
+                                  else "-"
+                                  for r in rows[t, p, :lanes])
+                       + (" ..." if lanes < 128 else ""))
         for s in range(8):
             cols = []
             for l in range(min(lanes, 128)):
@@ -48,6 +51,6 @@ def format_stats(packed) -> str:
     """One-line summary of a packed matrix (the reference's data-moved /
     overhead prints, csr_hw.cpp:420-421, main.cpp:84-88)."""
     return (f"tiles={packed.n_tiles} steps={packed.n_steps} "
-            f"G={packed.G} fill={packed.fill_factor:.3f} "
+            f"G={packed.G} Q={packed.Q} fill={packed.fill_factor:.3f} "
             f"bytes={packed.storage_bytes()} "
             f"overhead={100 * (packed.storage_overhead() - 1):+.1f}%")
