@@ -73,11 +73,21 @@ def main():
     if errors:
         gnnz = 0.0
 
+    # honest context numbers alongside the vs-FPGA speedup: fraction of
+    # this chip's HBM roofline (bytes actually moved / peak bandwidth)
+    # and the pack fill factor that gates it (VERDICT r1 item 8)
+    from sparsetpu.bench.harness import detect_hbm_gbps
+    moved_bytes = sm.packed.storage_bytes() if sm.packed else 0
+    floor_s = moved_bytes / (detect_hbm_gbps() * 1e9)
     print(json.dumps({
         "metric": "spmv_throughput",
         "value": round(gnnz, 3),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / REFERENCE_CEILING_GNNZ_S, 2),
+        "roofline_frac": round(floor_s / per_call, 3) if gnnz else 0.0,
+        "fill": round(sm.fill_factor(), 3),
+        "layout": {"G": sm.packed.G, "Q": sm.packed.Q,
+                   "final": type(sm._device.final).__name__},
     }))
 
 

@@ -142,6 +142,73 @@ def main(n_tiles=8192, T=128, combos=None, extras=("bigdual", "tilebase")):
         print(f"  tilebase: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
+def tilebase_variants(n_tiles=8192, T=128, combos=((1, 1), (1, 2), (2, 1),
+                                                   (2, 2), (4, 1), (2, 4))):
+    """Measure the v2 kernel shape: per-tile dynamic base slice of the
+    staged window + GL-group chain + P output planes."""
+    rng = np.random.default_rng(0)
+    rows = n_tiles * CHUNK
+    val = jax.device_put(rng.standard_normal((rows, LANES)).astype(np.float32))
+    n_steps = n_tiles // T
+    xw0 = jax.device_put(
+        rng.standard_normal((CHUNK * 32, LANES)).astype(np.float32))
+
+    for GL, P in combos:
+        cells = rng.integers(0, CHUNK * GL, size=(rows, LANES))
+        route = rng.integers(0, LANES, size=(rows, LANES))
+        meta = jax.device_put(((cells << 7) | route).astype(np.int16))
+        bases = jax.device_put(
+            rng.integers(0, 32 - GL + 1,
+                         size=(n_steps, T)).astype(np.int32))
+
+        def k(tb_ref, xw_ref, v_ref, m_ref, o_ref, GL=GL, P=P):
+            i = pl.program_id(0)
+            Q = CHUNK // P
+            for t in range(T):
+                sl = slice(t * CHUNK, (t + 1) * CHUNK)
+                b = tb_ref[i, t]
+                m32 = jnp.bitwise_and(m_ref[sl, :].astype(jnp.int32),
+                                      0x7FFF)
+                i1 = jnp.right_shift(m32, 7)
+                j = jnp.bitwise_and(m32, 0x7F)
+                xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GL), :]
+                if GL == 1:
+                    g1 = jnp.take_along_axis(xwin, i1, axis=0)
+                else:
+                    sub = jnp.bitwise_and(i1, CHUNK - 1)
+                    grp = jnp.right_shift(i1, 3)
+                    g1 = jnp.zeros((CHUNK, LANES), dtype=jnp.float32)
+                    for g in range(GL):
+                        part = jnp.take_along_axis(
+                            xwin[g * CHUNK:(g + 1) * CHUNK, :], sub,
+                            axis=0)
+                        g1 = jnp.where(grp == g, part, g1)
+                g2 = jnp.take_along_axis(g1, j, axis=1)
+                prod = v_ref[sl, :] * g2
+                if P == 1:
+                    o_ref[t, :] = jnp.sum(prod, axis=0)
+                else:
+                    for p in range(P):
+                        o_ref[t * P + p, :] = jnp.sum(
+                            prod[p * Q:(p + 1) * Q, :], axis=0)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((CHUNK * 32, LANES), lambda i, tb: (0, 0)),
+                pl.BlockSpec((T * CHUNK, LANES), lambda i, tb: (i, 0)),
+                pl.BlockSpec((T * CHUNK, LANES), lambda i, tb: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((T * P, LANES), lambda i, tb: (i, 0)))
+        f = pl.pallas_call(
+            k, grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((n_tiles * P, LANES),
+                                           jnp.float32))
+        t = timeit_chained(lambda xw: f(bases, xw, val, meta), xw0, 512, 16)
+        print(f"  tb GL={GL} P={P}   {t*1e3:8.3f} ms  "
+              f"{n_tiles * 1024 / t / 1e9:6.1f} Gslot/s", flush=True)
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
     batch = sys.argv[1] if len(sys.argv) > 1 else "1"
@@ -152,5 +219,7 @@ if __name__ == "__main__":
         main(combos=[(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)], extras=())
     elif batch == "3":
         main(combos=[(2, 2), (2, 4), (32, 1), (32, 4)], extras=())
-    else:
+    elif batch == "4":
         main(combos=[], extras=("bigdual", "tilebase"))
+    else:
+        tilebase_variants()

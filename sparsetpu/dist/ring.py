@@ -207,7 +207,7 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                 sub.values[msk].astype(np.float32),
                 sub.nr_rows, seg_cols)
             pk = pack_gstream(block, tiles_per_step=tiles_per_step, G=G,
-                              Q=Q)
+                              Q=Q, shuffle_lanes=True)
             assert pk.G == G and pk.tiles_per_step == tiles_per_step
             packs[p][s] = pk
             n_steps_seg = max(n_steps_seg, pk.n_steps)

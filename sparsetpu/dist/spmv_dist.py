@@ -223,14 +223,17 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     for p in range(P_):
         r0, r1 = int(part.row_start[p]), int(part.row_end[p])
         sub = _slice_rows(matrix, r0, r1)
+        # shuffle_lanes=True: the per-shard finals use the legacy
+        # greedy-window builder, which needs decorrelated positions
         if not packs:
-            packs.append(pack_gstream(sub, config))
+            packs.append(pack_gstream(sub, config, shuffle_lanes=True))
         else:
             # pin shard 0's layout: the SPMD program needs uniform
             # (G, Q, tiles_per_step) across shards
             packs.append(pack_gstream(
                 sub, config, G=packs[0].G, Q=packs[0].Q,
-                tiles_per_step=packs[0].tiles_per_step))
+                tiles_per_step=packs[0].tiles_per_step,
+                shuffle_lanes=True))
     G = packs[0].G
     planes = packs[0].planes
     tps = packs[0].tiles_per_step

@@ -106,7 +106,8 @@ def spmm_gstream(device, x_multi) -> jax.Array:
         n_steps=meta.n_steps, k=k, P=meta.planes,
         interpret=device.interpret)
     # fused multi-plane finish: one metadata fetch serves all k planes
-    if device.final is not None and not device.finish:
+    from .spmv_pallas import _FinalLevel
+    if isinstance(device.final, _FinalLevel) and not device.finish:
         return _final_gather_sums_multi(device.final, cs, meta.nr_rows)
     return jnp.stack([device.finish_vec(cs[kk]) for kk in range(k)],
                      axis=1)

@@ -98,17 +98,78 @@ def _spmv_kernel(step_window_ref, xw_ref, val_ref, meta_ref,
                     prod[p * Q:(p + 1) * Q, :], axis=0)
 
 
+def _spmv_kernel_v2(step_window_ref, tb_ref, xw_ref, val_ref, meta_ref,
+                    out_ref, *, tiles_per_step: int, GL: int, P: int = 1):
+    """v2: each tile gathers from GL window groups at a per-tile dynamic
+    sublane base (tb_ref, scalar-prefetched) — the select chain costs
+    O(GL) regardless of the staged window size G (measured on v5e:
+    116 Gslot/s at G=32/GL=1 vs 46 for the full chain)."""
+    i = pl.program_id(0)
+    Q = CHUNK // P
+    for t in range(tiles_per_step):
+        sl = slice(t * CHUNK, (t + 1) * CHUNK)
+        b = tb_ref[i, t]
+        m32 = jnp.bitwise_and(meta_ref[sl, :].astype(jnp.int32), 0x7FFF)
+        i1, j = _split_meta(m32)
+        xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GL), :]
+        if GL == 1:
+            g1 = jnp.take_along_axis(xwin, i1, axis=0)
+        else:
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+            g1 = jnp.zeros((CHUNK, LANES), dtype=xw_ref.dtype)
+            for g in range(GL):
+                part = jnp.take_along_axis(
+                    xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                g1 = jnp.where(grp == g, part, g1)
+        g2 = jnp.take_along_axis(g1, j, axis=1)
+        prod = val_ref[sl, :] * g2
+        if P == 1:
+            out_ref[t, :] = jnp.sum(prod, axis=0)
+        else:
+            for p in range(P):
+                out_ref[t * P + p, :] = jnp.sum(
+                    prod[p * Q:(p + 1) * Q, :], axis=0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tiles_per_step", "G", "n_steps", "P",
-                                    "interpret"))
+                                    "GL", "interpret"))
 def _gstream_chunk_sums(step_window, x2, values, meta, *,
                         tiles_per_step: int, G: int, n_steps: int,
-                        P: int = 1, interpret: bool = False):
+                        P: int = 1, GL: int = 0, tile_base=None,
+                        interpret: bool = False):
     """Run the Pallas kernel over all steps; returns (n_tiles*P, 128)
     chunk partial sums.  ``meta`` is the combined (cell << 7 | route)
-    stream."""
+    stream.  GL > 0 selects the v2 per-tile-base kernel; ``tile_base``
+    must then be the (n_steps, tiles_per_step) int32 group offsets."""
     n_tiles = n_steps * tiles_per_step
     rows_per_step = tiles_per_step * CHUNK
+
+    if GL:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((CHUNK * G, LANES),
+                             lambda i, sw, tb: (sw[i], 0)),   # x window
+                pl.BlockSpec((rows_per_step, LANES),
+                             lambda i, sw, tb: (i, 0)),
+                pl.BlockSpec((rows_per_step, LANES),
+                             lambda i, sw, tb: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tiles_per_step * P, LANES),
+                                   lambda i, sw, tb: (i, 0)),
+        )
+        kernel = functools.partial(_spmv_kernel_v2,
+                                   tiles_per_step=tiles_per_step,
+                                   GL=GL, P=P)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles * P, LANES), x2.dtype),
+            interpret=interpret,
+        )(step_window, tile_base, x2, values, meta)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -231,6 +292,9 @@ class GStreamDevice:
         self.meta16 = jnp.asarray(combine_meta(packed.cell_idx,
                                                packed.route))
         self.step_window = jnp.asarray(packed.step_window)
+        self.tile_base = (jnp.asarray(packed.tile_base.reshape(
+            packed.n_steps, packed.tiles_per_step))
+            if packed.GL else None)
         self._build_finish(packed, finish_levels)
 
     def _build_finish(self, packed: GStreamMatrix,
@@ -249,6 +313,19 @@ class GStreamDevice:
         self.final = None
         trap = packed.nr_rows
         chunk_row = packed.chunk_row.reshape(-1).astype(np.int64).copy()
+        if packed.ordered:
+            # row-major positions: the flat V2 final consumes everything
+            # in one level (per-out-tile dynamic windows); heavy rows
+            # (> PASS_CAP passes) would spill it back to legacy
+            counts = np.bincount(
+                chunk_row[chunk_row != trap], minlength=1)
+            if counts.size == 0 or counts.max() <= \
+                    _FinalLevelV2.PASS_CAP * CHUNK:
+                self.final = _FinalLevelV2.build(
+                    chunk_row, trap, packed.sections, packed.planes,
+                    self.interpret)
+                if self.final is not None:
+                    return
         for _ in range(3):
             valid = chunk_row != trap
             if not valid.any():
@@ -298,6 +375,7 @@ class GStreamDevice:
             self.step_window, x2, self.values, self.meta16,
             tiles_per_step=self.meta.tiles_per_step, G=self.meta.G,
             n_steps=self.meta.n_steps, P=self.meta.planes,
+            GL=self.meta.GL, tile_base=self.tile_base,
             interpret=self.interpret)
         return self.finish_vec(chunk_sums)
 
@@ -677,6 +755,351 @@ class _FinalLevel:
         return y
 
 
+def _final_kernel_v2(sw_ref, tb_ref, *refs, tiles_per_step: int,
+                     GL_f: int, nwin: int):
+    """Flat final level: per out tile, one GL_f-group dynamic-base slice
+    per window block (tb_ref, scalar-prefetched), so the select chain
+    costs O(nwin * GL_f) regardless of the position-space size — vs the
+    legacy level's O(nw * G) whose coverage shrinks as positions scatter.
+    Requires row-major chunk positions (GStreamMatrix.ordered)."""
+    xw_refs = refs[:nwin]
+    cell_ref, route_ref, out_ref = refs[nwin:]
+    i = pl.program_id(0)
+    first = sw_ref[i, nwin] == 1
+    parts = []
+    for t in range(tiles_per_step):
+        sl = slice(t * CHUNK, (t + 1) * CHUNK)
+        i1 = cell_ref[sl, :].astype(jnp.int32)  # w*(8*GL_f)+rel; drain >=
+        j = route_ref[sl, :].astype(jnp.int32)
+        sub = jnp.bitwise_and(i1, CHUNK - 1)
+        grp = jnp.right_shift(i1, 3)            # w*GL_f + g (drain beyond)
+        g1 = jnp.zeros((CHUNK, LANES), dtype=out_ref.dtype)
+        for w in range(nwin):
+            b = tb_ref[i, t * nwin + w]
+            xwin = xw_refs[w][pl.ds(b * CHUNK, CHUNK * GL_f), :]
+            for g in range(GL_f):
+                part = jnp.take_along_axis(
+                    xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                g1 = jnp.where(grp == w * GL_f + g, part, g1)
+        g2 = jnp.take_along_axis(g1, j, axis=1)
+        parts.append(jnp.sum(g2, axis=0))
+    acc = jnp.stack(parts, axis=0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] = out_ref[...] + acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_per_step", "GL_f", "nwin", "GS",
+                                    "n_steps", "n_out_tiles", "interpret"))
+def _final_gather_sums_v2(step_meta, tile_bases, x2, cell_idx, route, *,
+                          tiles_per_step: int, GL_f: int, nwin: int,
+                          GS: int, n_steps: int, n_out_tiles: int,
+                          interpret: bool = False):
+    """step_meta: (n_steps, nwin + 2) int32 — per step: nwin staged-block
+    indices (units of GS groups), a first-instance flag, the out block.
+    tile_bases: (n_steps, tiles_per_step * nwin) int32 — per (tile, w)
+    group offset of the tile's children within the staged block."""
+    rows_per_step = tiles_per_step * CHUNK
+
+    def win_spec(w):
+        return pl.BlockSpec((CHUNK * GS, LANES),
+                            lambda i, sw, tb, w=w: (sw[i, w], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[win_spec(w) for w in range(nwin)] + [
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw, tb: (i, 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw, tb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tiles_per_step, LANES),
+                               lambda i, sw, tb: (sw[i, nwin + 1], 0)),
+    )
+    kernel = functools.partial(_final_kernel_v2,
+                               tiles_per_step=tiles_per_step,
+                               GL_f=GL_f, nwin=nwin)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_tiles, LANES), x2.dtype),
+        interpret=interpret,
+    )(step_meta, tile_bases, *([x2] * nwin), cell_idx, route)
+
+
+class _FinalLevelV2:
+    """Flat fixed-position reduction over row-major chunk positions.
+
+    Children of output tile ot (rows [ot*128, ot*128+128)) within window
+    block w occupy a contiguous position range (the pack emits chunks
+    row-major per block; first-fit backfill jitters the range by at most
+    max_open tiles), so each (out tile, w) needs a single GL_f-group
+    dynamic window — no greedy window search, no coverage-driven
+    instances.  Rows with more than 8 children per pass get additional
+    passes (consecutive accumulating instances of the same out block);
+    rare residue-matching losers and over-span children spill to a small
+    XLA scatter."""
+
+    PASS_CAP = 4
+
+    def __init__(self, step_meta, tile_bases, cell_idx, route, n_steps,
+                 tiles_per_step, GL_f, nwin, GS, nt_pad, x_pad_rows,
+                 spill_pos, spill_row, interpret):
+        self.step_meta = jnp.asarray(step_meta)
+        self.tile_bases = jnp.asarray(tile_bases)
+        self.cell_idx = jnp.asarray(cell_idx)
+        self.route = jnp.asarray(route)
+        self.n_steps = n_steps
+        self.tiles_per_step = tiles_per_step
+        self.GL_f = GL_f
+        self.nwin = nwin
+        self.GS = GS
+        self.nt_pad = nt_pad
+        self.x_pad_rows = x_pad_rows
+        self.spill_pos = jnp.asarray(spill_pos) if spill_pos.size else None
+        self.spill_row = jnp.asarray(spill_row) if spill_row.size else None
+        self.interpret = interpret
+        self.n_spills = int(spill_pos.size)
+
+    @classmethod
+    def build(cls, chunk_row, nr_rows, sections, planes, interpret,
+              max_spill_frac: float = 0.02, tiles_per_step: int = 64):
+        from ..pack.gather_stream import _match_tiles
+
+        nwin = int(sections.shape[0])
+        if nwin > 8:
+            return None                      # chain too long: legacy wins
+        valid = np.flatnonzero(chunk_row != nr_rows)
+        rows_all = chunk_row[valid].astype(np.int64)
+        pos_all = valid.astype(np.int64)
+        n_children = rows_all.shape[0]
+        n_tiles_out = max(1, -(-nr_rows // LANES))
+        tps = min(tiles_per_step, max(8, n_tiles_out))
+        nt_pad = -(-n_tiles_out // tps) * tps
+        n_blocks = nt_pad // tps
+        if n_children == 0:
+            return None
+
+        # children sorted by (row, pos); pos is ascending within a row
+        order = np.argsort(rows_all, kind="stable")
+        rows = rows_all[order]
+        pos = pos_all[order]
+        rank, _ = _rank_in_group(rows)
+        pass_of = rank // CHUNK
+        spill = pass_of >= cls.PASS_CAP
+
+        # window block of each child (position ranges from pack sections;
+        # positions per tile = 128 chunk lanes x planes)
+        block_pos = sections[:, 0] * (LANES * planes)
+        w_of = np.searchsorted(block_pos, pos, side="right") - 1
+        ot = rows // LANES
+        groups = pos // (CHUNK * STRIPE)             # 1024-position groups
+        key_tw = ot * nwin + w_of
+
+        # per (out tile, w) group range of children
+        big = 1 << 30
+        ming = np.full(nt_pad * nwin, big, dtype=np.int64)
+        maxg = np.full(nt_pad * nwin, -1, dtype=np.int64)
+        live = ~spill
+        np.minimum.at(ming, key_tw[live], groups[live])
+        np.maximum.at(maxg, key_tw[live], groups[live])
+
+        # GL_f: groups a tile-window slice covers (pow2, cap 8) — sized
+        # to the p90 of per-(tile, w) needs; stragglers (first-fit
+        # backfill jitter) retry in later passes with their own bases
+        need = maxg - np.where(ming == big, maxg, ming) + 1
+        nz_need = need[maxg >= 0]
+        need90 = int(np.percentile(nz_need, 90)) if nz_need.size else 1
+        GL_f = 1
+        while GL_f < min(need90, 8):
+            GL_f *= 2
+
+        # staging: per (out block, window) TWO consecutive GS-group
+        # blocks at bi and bi+1 (block-quantized BlockSpec indices cannot
+        # start at arbitrary offsets; the pair makes any range of width
+        # <= GS reachable regardless of alignment).  Children pick the
+        # sub-window their group falls in; per-(tile, sub-window) bases
+        # stay in [0, GS - GL_f].
+        o_of_tw = (np.arange(nt_pad * nwin) // nwin) // tps
+        key_ow = o_of_tw * nwin + (np.arange(nt_pad * nwin) % nwin)
+        mn = np.full(n_blocks * nwin, big, dtype=np.int64)
+        mx = np.full(n_blocks * nwin, -1, dtype=np.int64)
+        has = ming < big
+        np.minimum.at(mn, key_ow[has], ming[has])
+        np.maximum.at(mx, key_ow[has], maxg[has])
+        spread = int(np.where(mx >= 0,
+                              mx - np.where(mn == big, mx, mn),
+                              0).max()) if mx.size else 0
+        # VMEM budget for the 2*nwin staged blocks (~4 MB, double-buffered
+        # by the pipeline)
+        gs_cap = 8
+        while 2 * nwin * (gs_cap * 2) * CHUNK * LANES * 4 <= (4 << 20):
+            gs_cap *= 2
+        need_gs = max(8, spread + 1)
+        if need_gs > gs_cap:
+            return None          # block spread too wide: legacy wins
+        GS = 8
+        while GS < need_gs:
+            GS *= 2
+        bi = np.where(mx < 0, 0, np.where(mn == big, 0, mn) // GS)
+
+        # sub-window of each child (global; bases are per pass)
+        off = groups - bi[key_ow[key_tw]] * GS
+        off = np.where(live, off, 0)
+        sub_of = off // GS                          # 0 or 1
+        off_sub = off - sub_of * GS                 # in [0, GS)
+        w2_of = 2 * w_of + sub_of
+        nwin2 = 2 * nwin
+        key_tw2 = ot * nwin2 + w2_of
+
+        # pass loop: each pass is a fresh instance with its OWN
+        # per-(tile, sub-window) bases and cell table, so both base
+        # stragglers (beyond the pass's GL_f slice) and residue-matching
+        # losers retry in the next pass instead of spilling
+        res = pos % STRIPE
+        slot = np.full(rows.shape[0], -1, dtype=np.int8)
+        cell_val = np.zeros(rows.shape[0], dtype=np.int64)
+        final_pass = np.full(rows.shape[0], cls.PASS_CAP, dtype=np.int64)
+        cur_pass = np.where(live, pass_of, cls.PASS_CAP).astype(np.int64)
+        base_rounds = np.zeros((cls.PASS_CAP, nt_pad * nwin2),
+                               dtype=np.int64)
+        for r in range(cls.PASS_CAP):
+            idx = np.flatnonzero(live & (cur_pass == r))
+            if idx.size == 0:
+                continue
+            ming2 = np.full(nt_pad * nwin2, big, dtype=np.int64)
+            np.minimum.at(ming2, key_tw2[idx], off_sub[idx])
+            base_r = np.minimum(np.where(ming2 == big, 0, ming2),
+                                GS - GL_f)
+            base_rounds[r] = base_r
+            over = off_sub[idx] - base_r[key_tw2[idx]] >= GL_f
+            cur_pass[idx[over]] = r + 1
+            idx = idx[~over]
+            if idx.size == 0:
+                continue
+            # a round may hold natives + retries: defer members beyond
+            # the chunk's 8 slots (the matcher needs distinct ranks)
+            rk, _ = _rank_in_group(rows[idx])
+            toomany = rk >= CHUNK
+            if toomany.any():
+                cur_pass[idx[toomany]] = r + 1
+                idx, rk = idx[~toomany], rk[~toomany]
+                if idx.size == 0:
+                    continue
+            rel = (off_sub[idx] - base_r[key_tw2[idx]]) * CHUNK \
+                + (pos[idx] // STRIPE) % CHUNK
+            cv = w2_of[idx] * (CHUNK * GL_f) + rel
+            s = _match_tiles(nt_pad, rows[idx], rk % CHUNK, res[idx],
+                             cv, np.ones(idx.size, dtype=bool))
+            won = s >= 0
+            slot[idx[won]] = s[won]
+            cell_val[idx[won]] = cv[won]
+            final_pass[idx[won]] = r
+            cur_pass[idx[~won]] = r + 1
+        pass_of = final_pass
+        spill |= live & (slot < 0)
+        live = ~spill
+        if n_children and spill.sum() / n_children > max(
+                max_spill_frac, 64 / n_children):
+            return None
+
+        # instance (step) list: (o, pass) pairs with children, plus (o, 0)
+        o_of_child = (ot[live]).astype(np.int64) // tps
+        inst_keys = set((int(o), 0) for o in range(n_blocks))
+        inst_keys.update(zip(o_of_child.tolist(),
+                             pass_of[live].tolist()))
+        inst_list = sorted(inst_keys)
+        n_steps = len(inst_list)
+        inst_step = {k: i for i, k in enumerate(inst_list)}
+        step_meta = np.zeros((n_steps, nwin2 + 2), dtype=np.int32)
+        tile_bases = np.zeros((n_steps, tps * nwin2), dtype=np.int32)
+        bi2 = bi.reshape(n_blocks, nwin)
+        base4 = base_rounds.reshape(cls.PASS_CAP, nt_pad, nwin2)
+        for i, (o, p) in enumerate(inst_list):
+            step_meta[i, 0:nwin2:2] = bi2[o]
+            step_meta[i, 1:nwin2:2] = bi2[o] + 1
+            step_meta[i, nwin2] = 1 if p == 0 else 0
+            step_meta[i, nwin2 + 1] = o
+            tile_bases[i] = base4[p, o * tps:(o + 1) * tps].reshape(-1)
+
+        drain = np.int16(nwin2 * CHUNK * GL_f)
+        cells = np.full((n_steps * tps, CHUNK, LANES), drain,
+                        dtype=np.int16)
+        route_a = np.zeros((n_steps * tps, CHUNK, LANES), dtype=np.int8)
+        route_set = np.zeros((n_steps * tps, CHUNK, LANES), dtype=bool)
+        li = np.flatnonzero(live)
+        st = np.array([inst_step[(int(o), int(p))]
+                       for o, p in zip(ot[li] // tps, pass_of[li])],
+                      dtype=np.int64)
+        gt = st * tps + (ot[li] % tps)
+        l_of = rows[li] % LANES
+        r_of = res[li]
+        s_of = slot[li].astype(np.int64)
+        route_a[gt, s_of, l_of] = r_of
+        route_set[gt, s_of, l_of] = True
+        cells[gt, s_of, r_of] = cell_val[li]
+        # unused stream positions route to a drain cell of their sublane
+        cell_free = cells == drain
+        free_r = np.argmax(cell_free, axis=2).astype(np.int8)
+        gt_i, s_i, l_i = np.nonzero(~route_set)
+        route_a[gt_i, s_i, l_i] = free_r[gt_i, s_i]
+
+        # cover the bi+1 sub-blocks: pad the position vector to
+        # (max bi + 2) staged blocks of GS groups
+        x_pad_rows = int((bi.max() + 2 if bi.size else 2) * GS * CHUNK)
+        x_pad_rows = max(x_pad_rows,
+                         -(-int(chunk_row.shape[0]) // STRIPE))
+        x_pad_rows = -(-x_pad_rows // (CHUNK * GS)) * (CHUNK * GS)
+        sp = np.flatnonzero(spill)
+        return cls(step_meta, tile_bases,
+                   cells.reshape(-1, LANES), route_a.reshape(-1, LANES),
+                   n_steps, tps, GL_f, nwin2, GS, nt_pad, x_pad_rows,
+                   pos[sp].astype(np.int32), rows[sp].astype(np.int32),
+                   interpret)
+
+    def apply(self, vec: jax.Array, nr_rows: int) -> jax.Array:
+        flat = vec.reshape(-1)
+        need = self.x_pad_rows * STRIPE
+        if flat.shape[0] < need:
+            flat = jnp.pad(flat, (0, need - flat.shape[0]))
+        x2 = flat[:need].reshape(-1, STRIPE)
+        grid = _final_gather_sums_v2(
+            self.step_meta, self.tile_bases, x2, self.cell_idx, self.route,
+            tiles_per_step=self.tiles_per_step, GL_f=self.GL_f,
+            nwin=self.nwin, GS=self.GS, n_steps=self.n_steps,
+            n_out_tiles=self.nt_pad, interpret=self.interpret)
+        y = grid.reshape(-1)[:nr_rows]
+        if self.spill_pos is not None:
+            y = y.at[self.spill_row].add(
+                jnp.take(vec.reshape(-1), self.spill_pos, mode="clip"),
+                mode="drop")
+        return y
+
+
+def _finalv2_flatten(f):
+    return ((f.step_meta, f.tile_bases, f.cell_idx, f.route, f.spill_pos,
+             f.spill_row),
+            (f.n_steps, f.tiles_per_step, f.GL_f, f.nwin, f.GS, f.nt_pad,
+             f.x_pad_rows, f.interpret, f.n_spills))
+
+
+def _finalv2_unflatten(aux, children):
+    f = object.__new__(_FinalLevelV2)
+    (f.n_steps, f.tiles_per_step, f.GL_f, f.nwin, f.GS, f.nt_pad,
+     f.x_pad_rows, f.interpret, f.n_spills) = aux
+    (f.step_meta, f.tile_bases, f.cell_idx, f.route, f.spill_pos,
+     f.spill_row) = children
+    return f
+
+
+jax.tree_util.register_pytree_node(_FinalLevelV2, _finalv2_flatten,
+                                   _finalv2_unflatten)
+
+
 class _FLevel:
     """One packed finish level: chunk_sums -> coarser partial sums."""
 
@@ -743,7 +1166,7 @@ def _final_unflatten(aux, children):
 
 
 def _device_flatten(d):
-    return ((d.values, d.meta16, d.step_window,
+    return ((d.values, d.meta16, d.step_window, d.tile_base,
              tuple(d.finish), d.final, getattr(d, "chunk_row", None)),
             (d.meta, d.interpret))
 
@@ -751,7 +1174,7 @@ def _device_flatten(d):
 def _device_unflatten(aux, children):
     d = object.__new__(GStreamDevice)
     d.meta, d.interpret = aux
-    (d.values, d.meta16, d.step_window,
+    (d.values, d.meta16, d.step_window, d.tile_base,
      finish, d.final, chunk_row) = children
     d.finish = list(finish)
     if chunk_row is not None:

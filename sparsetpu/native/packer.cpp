@@ -37,6 +37,9 @@ struct Tile {
   int16_t route[kChunk][kLanes];
   int32_t chunk_row[kChunk][kLanes];  // [plane][lane]; planes = 8/q used
   int n_chunks = 0;
+  // v2 (per-tile dynamic window base): group range of accepted chunks
+  int glo = 1 << 30;
+  int ghi = -1;
 
   void init(int32_t trap_row) {
     std::memset(cell, 0xff, sizeof(cell));        // -1
@@ -46,6 +49,8 @@ struct Tile {
     for (int p = 0; p < kChunk; ++p)
       for (int l = 0; l < kLanes; ++l) chunk_row[p][l] = trap_row;
     n_chunks = 0;
+    glo = 1 << 30;
+    ghi = -1;
   }
 };
 
@@ -234,6 +239,211 @@ void stpu_pack_copy_q(void* handle, int q, float* values, int16_t* cells,
 
 void stpu_pack_free(void* handle) {
   delete static_cast<PackState*>(handle);
+}
+
+// ---------------------------------------------------------------------------
+// v2: per-tile dynamic window base (GStream v2).
+//
+// The kernel stages a full G-group x window per grid step but each tile
+// gathers from only GL groups of it, starting at a per-tile base read from
+// scalar-prefetch memory — so the select chain costs O(GL), not O(G)
+// (measured: G=32 full chain 46 Gslot/s vs per-tile base 116 Gslot/s on
+// v5e).  Pack-time obligations: every chunk's elements span < GL groups
+// (runs are split greedily where they would not), and tiles only accept
+// chunks keeping the tile's union group span < GL.  Cells are stored
+// RELATIVE to the tile base.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ChunkRef {
+  int64_t start;
+  int16_t len;
+  int16_t glo, ghi;
+  int32_t row;
+};
+
+struct PackV2State {
+  std::vector<Tile*> done;
+  std::vector<int> base;  // per done tile
+  ~PackV2State() {
+    for (Tile* t : done) delete t;
+  }
+};
+
+void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
+                    const int32_t* cols, const float* vals,
+                    const ChunkRef& c) {
+  const int q = m.q;
+  const int plane = pos / kLanes;
+  const int lane = pos % kLanes;
+  const int sub0 = plane * q;
+  bool slot_used[kChunk] = {false};
+  for (int e = 0; e < c.len; ++e) {
+    int s = sub0 + m.slot_of[e];
+    int r = m.res[e];
+    t->cell[s][r] = m.stripe[e];
+    t->vals[s][lane] = vals[c.start + e];
+    t->route[s][lane] = static_cast<int16_t>(r);
+    slot_used[m.slot_of[e]] = true;
+  }
+  int free_s = 0;
+  for (int e = c.len; e < q; ++e) {
+    while (free_s < q && slot_used[free_s]) ++free_s;
+    if (free_s < q) {
+      t->vals[sub0 + free_s][lane] = 0.0f;
+      t->route[sub0 + free_s][lane] = 0;
+      slot_used[free_s] = true;
+    }
+  }
+  t->chunk_row[plane][lane] = c.row;
+  if (c.glo < t->glo) t->glo = c.glo;
+  if (c.ghi > t->ghi) t->ghi = c.ghi;
+  t->n_chunks++;
+}
+
+}  // namespace
+
+// Pack one column block, v2 layout.  Inputs are the block's raw
+// row-major-sorted triplets (cols local to the block, in [0, G*1024)).
+// Returns the tile count; copy out with stpu_pack_copy_v2.
+long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
+                       const float* vals, long long n, int32_t trap_row,
+                       int q, int GL, int G, int max_open,
+                       void** out_handle) {
+  if (q < 1 || q > kChunk || kChunk % q != 0) return -1;
+  if (GL < 1 || GL > G || max_open < 1) return -1;
+  const int planes = kChunk / q;
+  const int cap = planes * kLanes;
+
+  // pass 1: greedy span-limited chunking (split where a chunk would span
+  // >= GL groups — the reference's row padding, csr_hw.cpp:108-114, plus
+  // the v2 locality cut)
+  std::vector<ChunkRef> chunks;
+  chunks.reserve(static_cast<size_t>(n / q + 16));
+  int64_t i = 0;
+  while (i < n) {
+    const int32_t row = rows[i];
+    ChunkRef c{i, 0, 0, 0, row};
+    int glo = cols[i] >> 10, ghi = glo;
+    c.len = 1;
+    c.glo = static_cast<int16_t>(glo);
+    c.ghi = static_cast<int16_t>(ghi);
+    ++i;
+    while (i < n && rows[i] == row) {
+      const int g = cols[i] >> 10;
+      const int nlo = g < glo ? g : glo;
+      const int nhi = g > ghi ? g : ghi;
+      if (c.len >= q || nhi - nlo >= GL) {
+        chunks.push_back(c);
+        c = ChunkRef{i, 0, 0, 0, row};
+        glo = ghi = g;
+      } else {
+        glo = nlo;
+        ghi = nhi;
+      }
+      c.glo = static_cast<int16_t>(glo);
+      c.ghi = static_cast<int16_t>(ghi);
+      c.len++;
+      ++i;
+    }
+    chunks.push_back(c);
+  }
+
+  // pass 2: counting-sort chunks by min group (locality-friendly
+  // first-fit order; stable, keeps row-major order inside a group)
+  std::vector<size_t> order(chunks.size());
+  {
+    std::vector<size_t> cnt(static_cast<size_t>(G) + 1, 0);
+    for (const ChunkRef& c : chunks) cnt[c.glo + 1]++;
+    for (int g = 0; g < G; ++g) cnt[g + 1] += cnt[g];
+    for (size_t k = 0; k < chunks.size(); ++k)
+      order[cnt[chunks[k].glo]++] = k;
+  }
+
+  // pass 3: first-fit with group-span + residue-matching constraints
+  auto* st = new PackV2State();
+  std::vector<Tile*> open;
+  std::vector<ChunkRef*> pending;
+  ChunkMatcher m;
+  m.q = q;
+  auto retire = [&](size_t keep) {
+    while (!open.empty() &&
+           (open.front()->n_chunks >= cap || open.size() > keep)) {
+      Tile* t = open.front();
+      st->done.push_back(t);
+      int b = t->glo;
+      if (b > G - GL) b = G - GL;
+      if (b < 0) b = 0;
+      st->base.push_back(b);
+      open.erase(open.begin());
+    }
+  };
+  for (size_t k = 0; k < chunks.size(); ++k) {
+    const ChunkRef& c = chunks[order[k]];
+    m.n_real = c.len;
+    for (int e = 0; e < c.len; ++e) {
+      m.res[e] = cols[c.start + e] & (kLanes - 1);
+      m.stripe[e] = cols[c.start + e] >> 7;
+    }
+    bool placed = false;
+    for (Tile* t : open) {
+      if (t->n_chunks >= cap) continue;
+      const int nlo = c.glo < t->glo ? c.glo : t->glo;
+      const int nhi = c.ghi > t->ghi ? c.ghi : t->ghi;
+      if (nhi - nlo >= GL) continue;
+      if (m.match(t, t->n_chunks / kLanes)) {
+        place_chunk_v2(t, m, t->n_chunks, cols, vals, c);
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) {
+      Tile* t = new Tile();
+      t->init(trap_row);
+      (void)m.match(t, 0);
+      place_chunk_v2(t, m, 0, cols, vals, c);
+      open.push_back(t);
+    }
+    retire(static_cast<size_t>(max_open));
+  }
+  retire(0);
+  *out_handle = st;
+  return static_cast<long long>(st->done.size());
+}
+
+// Copy out v2 tiles.  cells are emitted RELATIVE to the tile base;
+// tile_base is (n_tiles,) int32 group offsets.
+void stpu_pack_copy_v2(void* handle, int q, float* values, int16_t* cells,
+                       int16_t* route, int32_t* chunk_row,
+                       int32_t* tile_base) {
+  auto* st = static_cast<PackV2State*>(handle);
+  const int planes = kChunk / q;
+  size_t ti = 0;
+  for (Tile* t : st->done) {
+    const int base_stripe = st->base[ti] * (1024 >> 7);  // groups -> stripes
+    float* v = values + ti * kChunk * kLanes;
+    int16_t* ce = cells + ti * kChunk * kLanes;
+    int16_t* ro = route + ti * kChunk * kLanes;
+    for (int s = 0; s < kChunk; ++s) {
+      std::memcpy(v + s * kLanes, t->vals[s], sizeof(float) * kLanes);
+      std::memcpy(ro + s * kLanes, t->route[s], sizeof(int16_t) * kLanes);
+      for (int r = 0; r < kLanes; ++r) {
+        const int32_t c = t->cell[s][r];
+        ce[s * kLanes + r] =
+            c < 0 ? 0 : static_cast<int16_t>(c - base_stripe);
+      }
+    }
+    for (int p = 0; p < planes; ++p)
+      std::memcpy(chunk_row + (ti * planes + p) * kLanes, t->chunk_row[p],
+                  sizeof(int32_t) * kLanes);
+    tile_base[ti] = st->base[ti];
+    ++ti;
+  }
+}
+
+void stpu_pack_v2_free(void* handle) {
+  delete static_cast<PackV2State*>(handle);
 }
 
 }  // extern "C"

@@ -27,8 +27,63 @@ def _bind(lib):
     ]
     lib.stpu_pack_free.restype = None
     lib.stpu_pack_free.argtypes = [ctypes.c_void_p]
+    lib.stpu_pack_v2.restype = ctypes.c_longlong
+    lib.stpu_pack_v2.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.stpu_pack_copy_v2.restype = None
+    lib.stpu_pack_copy_v2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.stpu_pack_v2_free.restype = None
+    lib.stpu_pack_v2_free.argtypes = [ctypes.c_void_p]
     lib._pack_bound = True
     return lib
+
+
+def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
+                   G: int, max_open: int = 0):
+    """v2 pack of one column block from raw row-sorted triplets; returns
+    (values, cells[relative], route, chunk_row, tile_base)."""
+    lib = _bind(_lib())
+    if not max_open:
+        max_open = DEFAULT_MAX_OPEN.get(q, 16)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    handle = ctypes.c_void_p()
+    n_tiles = lib.stpu_pack_v2(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(rows.shape[0]), ctypes.c_int32(trap_row),
+        ctypes.c_int(q), ctypes.c_int(GL), ctypes.c_int(G),
+        ctypes.c_int(max_open), ctypes.byref(handle))
+    if n_tiles < 0:
+        raise RuntimeError("stpu_pack_v2 failed")
+    n_tiles = int(n_tiles)
+    planes = 8 // q
+    values = np.empty((n_tiles * 8, 128), dtype=np.float32)
+    cells = np.empty((n_tiles * 8, 128), dtype=np.int16)
+    route = np.empty((n_tiles * 8, 128), dtype=np.int16)
+    chunk_row = np.empty((n_tiles * planes, 128), dtype=np.int32)
+    tile_base = np.empty((n_tiles,), dtype=np.int32)
+    try:
+        lib.stpu_pack_copy_v2(
+            handle, ctypes.c_int(q),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            route.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            chunk_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tile_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.stpu_pack_v2_free(handle)
+    return values, cells, route.astype(np.int8), chunk_row, tile_base
 
 
 # First-fit window (open tiles tried per chunk).  Small quanta give each

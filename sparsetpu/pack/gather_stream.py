@@ -88,6 +88,10 @@ class GStreamMatrix:
     padded_cols: int         # nr_cols padded to window multiple
     sections: np.ndarray = None  # (n_blocks, 2) tile ranges per col block
     Q: int = CHUNK           # row-pad quantum (VF knob, util.h:31-39)
+    GL: int = 0              # v2: locality groups per tile (0 = classic)
+    tile_base: np.ndarray = None  # v2: (n_tiles,) int32 group offsets
+    ordered: bool = False    # chunk positions row-major within each block
+                             # (no lane shuffle) -> flat V2 finish applies
 
     @property
     def planes(self) -> int:
@@ -202,6 +206,15 @@ def _match_tiles(n_tiles, local_chunk, rank, res, stripe, active,
         # a chunk-mate may already hold this slot from an earlier attempt
         avail = ~chunk_slot_used[local_chunk[idx], cand_s]
         idx, cand_s = idx[avail], cand_s[avail]
+        if idx.shape[0] == 0:
+            continue
+        # same-chunk same-slot contention within one attempt (callers
+        # with duplicate ranks): lowest-index proposer wins, others retry
+        key_cs = local_chunk[idx] * q + cand_s
+        uniq_first = np.full(n_chunks_local * q, -1, dtype=np.int64)
+        uniq_first[key_cs[::-1]] = idx[::-1]    # first occurrence wins
+        keep = uniq_first[key_cs] == idx
+        idx, cand_s = idx[keep], cand_s[keep]
         if idx.shape[0] == 0:
             continue
         key = (sub_base[idx] + cand_s) * LANES + res[idx]
@@ -341,6 +354,49 @@ def _native_pack_block():
         return None
 
 
+def _native_pack_v2():
+    try:
+        from ..native.packer import available, pack_v2_native
+        return pack_v2_native if available() else None
+    except Exception:
+        return None
+
+
+def _pack_block_v2_numpy(brows, bcols, bvals, nr_rows, value_dtype, q,
+                         GL, G):
+    """NumPy v2 fallback: partition the block into GL-group-aligned
+    subwindows and pack each with the classic matcher (correct but
+    conservative — the C++ path places chunks at unaligned bases and
+    splits runs only where a chunk's own span forces it)."""
+    sub_w = GL * CHUNK * STRIPE
+    sw_of = bcols // sub_w
+    order = np.argsort(sw_of, kind="stable")
+    bounds = np.searchsorted(sw_of[order], np.arange(-(-G // GL) + 1))
+    vs, cs, rs, ms, bases = [], [], [], [], []
+    for s in range(bounds.shape[0] - 1):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if lo == hi:
+            continue
+        idx = order[lo:hi]
+        prow, pcol, pval, preal = _pad_rows_to_chunks(
+            brows[idx], (bcols[idx] - s * sub_w).astype(np.int32),
+            bvals[idx], q)
+        v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
+                                  value_dtype, q)
+        vs.append(v)
+        cs.append(c)
+        rs.append(r)
+        ms.append(mm)
+        bases.append(np.full(v.shape[0], s * GL, dtype=np.int32))
+    if not vs:
+        z = np.zeros((0, CHUNK, LANES))
+        return (z.astype(value_dtype), z.astype(np.int16),
+                z.astype(np.int8), np.zeros((0, LANES), np.int32),
+                np.zeros(0, np.int32))
+    return (np.concatenate(vs), np.concatenate(cs), np.concatenate(rs),
+            np.concatenate(ms), np.concatenate(bases))
+
+
 def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
                    q_candidates=(2, 4, 8)) -> Tuple[int, int]:
     """Pick the column-window group count G and the row-pad quantum Q
@@ -408,16 +464,23 @@ def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
 def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  tiles_per_step: Optional[int] = None,
                  value_dtype=np.float32, use_native: bool = True,
-                 shuffle_lanes: bool = True,
+                 shuffle_lanes: Optional[bool] = None,
                  G: Optional[int] = None,
-                 Q: Optional[int] = None) -> GStreamMatrix:
+                 Q: Optional[int] = None,
+                 GL: Optional[int] = None) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
     csr_hw.cpp:377-1398, collapsed to one parameterized routine).
 
     ``Q`` is the row-pad quantum — the reference's VF unroll knob
     (util.h:31-39): rows' per-window nnz runs pad to a Q multiple and
     the kernel emits 8/Q chunk-sum planes per tile.  Defaults to the
-    config's ``vf`` if set (> 0), else model-chosen jointly with G."""
+    config's ``vf`` if set (> 0), else model-chosen jointly with G.
+
+    ``GL`` > 0 selects the v2 layout: every tile gathers from only GL
+    window groups at a per-tile dynamic base, so the kernel's select
+    chain costs O(GL) while the padding window stays the full G groups
+    (the big-window fill at small-window speed).  Requires G % GL == 0.
+    """
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
     if tiles_per_step is None:
         # bigger steps amortize the Pallas pipeline: T=128 (1.5 MB blocks)
@@ -438,6 +501,18 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         Q = Q if Q is not None else q_m
     if Q not in VALID_Q:
         raise ValueError(f"Q must be one of {VALID_Q}, got {Q}")
+    if shuffle_lanes is None:
+        # The lane shuffle decorrelates reduction-level residues, which
+        # the HEAVY-row F levels need (fill 0.23 -> 0.85); but it
+        # scatters each row's chunk positions, which defeats the flat V2
+        # finish.  Auto: shuffle only when heavy rows will need F levels.
+        est_children = (matrix.row_nnz().max() if matrix.nr_rows else 0)
+        shuffle_lanes = bool(est_children / Q > 32)
+    if GL:
+        if G % GL != 0:
+            raise ValueError(f"GL={GL} must divide G={G}")
+        if GL == G:
+            GL = None   # per-tile base degenerates to the classic layout
     P = CHUNK // Q
     W = G * CHUNK * STRIPE
     n_blocks = max(1, -(-nr_cols // W))
@@ -449,8 +524,11 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
     vals_all = matrix.values
     native = _native_pack_block() if (
         use_native and np.dtype(value_dtype) == np.float32) else None
+    native_v2 = _native_pack_v2() if (
+        GL and use_native and np.dtype(value_dtype) == np.float32) else None
 
     all_v, all_c, all_r, all_m, step_win = [], [], [], [], []
+    all_b = []      # v2 per-tile bases
     sections = []   # (tile_start, tile_end) per emitted column block
 
     def _pad_tiles(k):
@@ -458,6 +536,8 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         all_c.append(np.zeros((k * CHUNK, LANES), dtype=np.int16))
         all_r.append(np.zeros((k * CHUNK, LANES), dtype=np.int8))
         all_m.append(np.full((k * P, LANES), nr_rows, dtype=np.int32))
+        if GL:
+            all_b.append(np.zeros(k, dtype=np.int32))
 
     if n_blocks > 1:
         # one stable sort by window (keeps row-major order inside each
@@ -478,18 +558,32 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         if brows.shape[0] == 0:
             continue
         local = (bcols - b * W).astype(np.int32)
-        prow, pcol, pval, preal = _pad_rows_to_chunks(brows, local, bvals,
-                                                      Q)
-        if native is not None:
-            v, c, r, mm = native(prow, pcol,
-                                 pval.astype(np.float32, copy=False),
-                                 preal, nr_rows, q=Q)
-            v = v.reshape(-1, CHUNK, LANES)
-            c = c.reshape(-1, CHUNK, LANES)
-            r = r.reshape(-1, CHUNK, LANES)
+        if GL:
+            if native_v2 is not None:
+                v, c, r, mm, tb = native_v2(
+                    brows, local, bvals.astype(np.float32, copy=False),
+                    nr_rows, q=Q, GL=GL, G=G)
+                v = v.reshape(-1, CHUNK, LANES)
+                c = c.reshape(-1, CHUNK, LANES)
+                r = r.reshape(-1, CHUNK, LANES)
+            else:
+                v, c, r, mm, tb = _pack_block_v2_numpy(
+                    brows, local.astype(np.int64), bvals, nr_rows,
+                    value_dtype, Q, GL, G)
+            all_b.append(tb)
         else:
-            v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
-                                      value_dtype, Q)
+            prow, pcol, pval, preal = _pad_rows_to_chunks(
+                brows, local, bvals, Q)
+            if native is not None:
+                v, c, r, mm = native(prow, pcol,
+                                     pval.astype(np.float32, copy=False),
+                                     preal, nr_rows, q=Q)
+                v = v.reshape(-1, CHUNK, LANES)
+                c = c.reshape(-1, CHUNK, LANES)
+                r = r.reshape(-1, CHUNK, LANES)
+            else:
+                v, c, r, mm = _pack_block(prow, pcol, pval, preal, nr_rows,
+                                          value_dtype, Q)
         nt = v.shape[0]
         all_v.append(v.reshape(nt * CHUNK, LANES))
         all_c.append(c.reshape(nt * CHUNK, LANES))
@@ -520,7 +614,11 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=matrix.nr_nzeros,
         G=G, tiles_per_step=tiles_per_step, padded_cols=padded_cols,
         sections=np.asarray(sections, dtype=np.int64).reshape(-1, 2),
-        Q=Q)
+        Q=Q, GL=GL or 0,
+        tile_base=np.concatenate(all_b) if GL else None,
+        # v2 first-fit orders chunks by column group, not row: positions
+        # are only row-major (V2-finish-eligible) for the classic layout
+        ordered=not shuffle_lanes and not GL)
 
 
 def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed,
@@ -563,6 +661,10 @@ def unpack_gstream(p: GStreamMatrix) -> CSRMatrix:
     route = p.route.reshape(n_t, CHUNK, LANES).astype(np.int64)
     # local col of element (t, s, l) = cell stripe at (t, s, route)*128+route
     stripe = np.take_along_axis(cells, route, axis=2)
+    if p.GL:
+        # v2 cells are relative to the per-tile base (in groups of 8)
+        stripe = stripe + (p.tile_base.astype(np.int64)
+                           * CHUNK)[:, None, None]
     local_col = stripe * STRIPE + route
     # global column: window base of the tile's grid step
     win_of_tile = p.step_window[

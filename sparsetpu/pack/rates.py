@@ -53,10 +53,11 @@ MATCH_INFLATION = {8: 1.03, 4: 1.12, 2: 1.10, 1: 1.25}
 
 # Per reduction child (chunk partial sum) cost of the finish levels,
 # in the same unit as slots/rate above (slots per Gslot/s = ns):
-# measured final-level throughput is ~1 child/slot at ~50-100 Gslot/s,
-# plus fill inefficiency — more chunks means a more expensive finish,
-# which is what rules out tiny quanta on dense rows.
-FINISH_NS_PER_CHILD = 0.02
+# measured V2 final on the 10M-nnz headline: 0.111 ms for 1.88M
+# children (G=16 forward, 2 sub-windows per block) ~= 0.06 ns/child.
+# More chunks = a more expensive finish, which is what rules out tiny
+# quanta on dense rows.
+FINISH_NS_PER_CHILD = 0.06
 
 
 def _device_kind() -> str:

@@ -17,7 +17,7 @@ from .gather_stream import GStreamMatrix
 
 def _meta_vec(p) -> np.ndarray:
     return np.array([p.nr_rows, p.nr_cols, p.nr_nzeros, p.G,
-                     p.tiles_per_step, p.padded_cols, p.Q],
+                     p.tiles_per_step, p.padded_cols, p.Q, p.GL],
                     dtype=np.int64)
 
 
@@ -26,11 +26,17 @@ def _meta_q(meta) -> int:
     return int(meta[6]) if meta.shape[0] > 6 else 8
 
 
+def _meta_gl(meta) -> int:
+    return int(meta[7]) if meta.shape[0] > 7 else 0
+
+
 def save_gstream(path: str, p: GStreamMatrix) -> None:
-    np.savez_compressed(
-        path, values=p.values, cell_idx=p.cell_idx, route=p.route,
-        chunk_row=p.chunk_row, step_window=p.step_window,
-        meta=_meta_vec(p))
+    arrs = dict(values=p.values, cell_idx=p.cell_idx, route=p.route,
+                chunk_row=p.chunk_row, step_window=p.step_window,
+                meta=_meta_vec(p))
+    if p.GL:
+        arrs["tile_base"] = p.tile_base
+    np.savez_compressed(path, **arrs)
 
 
 def load_gstream(path: str) -> GStreamMatrix:
@@ -41,7 +47,8 @@ def load_gstream(path: str) -> GStreamMatrix:
         chunk_row=z["chunk_row"], step_window=z["step_window"],
         nr_rows=int(meta[0]), nr_cols=int(meta[1]), nr_nzeros=int(meta[2]),
         G=int(meta[3]), tiles_per_step=int(meta[4]),
-        padded_cols=int(meta[5]), Q=_meta_q(meta))
+        padded_cols=int(meta[5]), Q=_meta_q(meta), GL=_meta_gl(meta),
+        tile_base=z["tile_base"] if "tile_base" in z else None)
 
 
 def save_device(path: str, device) -> None:
@@ -55,6 +62,8 @@ def save_device(path: str, device) -> None:
         "meta": _meta_vec(device.meta),
         "n_flevels": np.array([len(device.finish)]),
     }
+    if device.meta.GL:
+        arrs["tile_base"] = device.meta.tile_base
     for i, f in enumerate(device.finish):
         fp = f.meta
         arrs[f"f{i}_values"] = fp.values
@@ -64,7 +73,19 @@ def save_device(path: str, device) -> None:
         arrs[f"f{i}_step_window"] = fp.step_window
         arrs[f"f{i}_meta"] = _meta_vec(fp)
     fin = device.final
-    if fin is not None:
+    from ..kernels.spmv_pallas import _FinalLevelV2
+    if isinstance(fin, _FinalLevelV2):
+        arrs["fin_step_meta"] = np.asarray(fin.step_meta)
+        arrs["fin_tile_bases"] = np.asarray(fin.tile_bases)
+        arrs["fin_cell"] = np.asarray(fin.cell_idx)
+        arrs["fin_route"] = np.asarray(fin.route)
+        arrs["fin_static_v2"] = np.array(
+            [fin.n_steps, fin.tiles_per_step, fin.GL_f, fin.nwin, fin.GS,
+             fin.nt_pad, fin.x_pad_rows, fin.n_spills], dtype=np.int64)
+        if fin.spill_pos is not None:
+            arrs["fin_spill_pos"] = np.asarray(fin.spill_pos)
+            arrs["fin_spill_row"] = np.asarray(fin.spill_row)
+    elif fin is not None:
         arrs["fin_step_meta"] = np.asarray(fin.step_meta)
         arrs["fin_cell"] = np.asarray(fin.cell_idx)
         arrs["fin_route"] = np.asarray(fin.route)
@@ -83,7 +104,7 @@ def load_device(path: str, interpret: bool = False):
     """Restore a GStreamDevice checkpoint written by save_device."""
     import jax.numpy as jnp
     from ..kernels.spmv_pallas import (GStreamDevice, _FinalLevel,
-                                       _FLevel)
+                                       _FinalLevelV2, _FLevel)
 
     z = np.load(path)
     meta = z["meta"]
@@ -103,7 +124,10 @@ def load_device(path: str, interpret: bool = False):
             step_window=z[f"{prefix}step_window"],
             nr_rows=int(mm[0]), nr_cols=int(mm[1]), nr_nzeros=int(mm[2]),
             G=int(mm[3]), tiles_per_step=int(mm[4]),
-            padded_cols=int(mm[5]), Q=_meta_q(mm))
+            padded_cols=int(mm[5]), Q=_meta_q(mm),
+            GL=_meta_gl(mm) if not prefix else 0,
+            tile_base=(z["tile_base"]
+                       if not prefix and "tile_base" in z else None))
 
     d = object.__new__(GStreamDevice)
     d.meta = gs()
@@ -111,10 +135,22 @@ def load_device(path: str, interpret: bool = False):
     d.values = jnp.asarray(z["values"])
     d.meta16 = jnp.asarray(z["meta16"])
     d.step_window = jnp.asarray(z["step_window"])
+    d.tile_base = (jnp.asarray(d.meta.tile_base.reshape(
+        d.meta.n_steps, d.meta.tiles_per_step)) if d.meta.GL else None)
     d.finish = []
     for i in range(int(z["n_flevels"][0])):
         d.finish.append(_FLevel(gs(f"f{i}_"), interpret))
-    if "fin_static" in z:
+    if "fin_static_v2" in z:
+        s = z["fin_static_v2"]
+        sp = z["fin_spill_pos"] if "fin_spill_pos" in z else \
+            np.zeros(0, np.int32)
+        sr = z["fin_spill_row"] if "fin_spill_row" in z else \
+            np.zeros(0, np.int32)
+        d.final = _FinalLevelV2(
+            z["fin_step_meta"], z["fin_tile_bases"], z["fin_cell"],
+            z["fin_route"], int(s[0]), int(s[1]), int(s[2]), int(s[3]),
+            int(s[4]), int(s[5]), int(s[6]), sp, sr, interpret)
+    elif "fin_static" in z:
         s = z["fin_static"]
         sp = z["fin_spill_pos"] if "fin_spill_pos" in z else \
             np.zeros(0, np.int32)
