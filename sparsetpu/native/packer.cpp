@@ -306,10 +306,13 @@ void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
 
 // Pack one column block, v2 layout.  Inputs are the block's raw
 // row-major-sorted triplets (cols local to the block, in [0, G*1024)).
+// slab_rows > 0 orders chunks by (row/slab_rows, group) instead of
+// (group): positions stay row-slab-contiguous, so the flat V2 final
+// level applies, at a locality cost of ~log(slab/128) extra GL groups.
 // Returns the tile count; copy out with stpu_pack_copy_v2.
 long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
                        const float* vals, long long n, int32_t trap_row,
-                       int q, int GL, int G, int max_open,
+                       int q, int GL, int G, int max_open, int slab_rows,
                        void** out_handle) {
   if (q < 1 || q > kChunk || kChunk % q != 0) return -1;
   if (GL < 1 || GL > G || max_open < 1) return -1;
@@ -350,15 +353,26 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
     chunks.push_back(c);
   }
 
-  // pass 2: counting-sort chunks by min group (locality-friendly
-  // first-fit order; stable, keeps row-major order inside a group)
+  // pass 2: counting-sort chunks by (row slab, min group) — stable, so
+  // positions stay row-major within each (slab, group)
   std::vector<size_t> order(chunks.size());
   {
-    std::vector<size_t> cnt(static_cast<size_t>(G) + 1, 0);
-    for (const ChunkRef& c : chunks) cnt[c.glo + 1]++;
-    for (int g = 0; g < G; ++g) cnt[g + 1] += cnt[g];
+    auto key_of = [&](const ChunkRef& c) -> size_t {
+      size_t slab = slab_rows > 0
+                        ? static_cast<size_t>(c.row / slab_rows)
+                        : 0;
+      return slab * static_cast<size_t>(G) + c.glo;
+    };
+    size_t n_keys = 1;
+    for (const ChunkRef& c : chunks) {
+      size_t k = key_of(c) + 1;
+      if (k + 1 > n_keys) n_keys = k + 1;
+    }
+    std::vector<size_t> cnt(n_keys, 0);
+    for (const ChunkRef& c : chunks) cnt[key_of(c) + 1]++;
+    for (size_t g = 0; g + 1 < n_keys; ++g) cnt[g + 1] += cnt[g];
     for (size_t k = 0; k < chunks.size(); ++k)
-      order[cnt[chunks[k].glo]++] = k;
+      order[cnt[key_of(chunks[k])]++] = k;
   }
 
   // pass 3: first-fit with group-span + residue-matching constraints

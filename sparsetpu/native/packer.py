@@ -32,7 +32,7 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.stpu_pack_copy_v2.restype = None
     lib.stpu_pack_copy_v2.argtypes = [
@@ -47,7 +47,7 @@ def _bind(lib):
 
 
 def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
-                   G: int, max_open: int = 0):
+                   G: int, max_open: int = 0, slab_rows: int = 0):
     """v2 pack of one column block from raw row-sorted triplets; returns
     (values, cells[relative], route, chunk_row, tile_base)."""
     lib = _bind(_lib())
@@ -63,7 +63,8 @@ def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_longlong(rows.shape[0]), ctypes.c_int32(trap_row),
         ctypes.c_int(q), ctypes.c_int(GL), ctypes.c_int(G),
-        ctypes.c_int(max_open), ctypes.byref(handle))
+        ctypes.c_int(max_open), ctypes.c_int(slab_rows),
+        ctypes.byref(handle))
     if n_tiles < 0:
         raise RuntimeError("stpu_pack_v2 failed")
     n_tiles = int(n_tiles)

@@ -363,20 +363,27 @@ def _native_pack_v2():
 
 
 def _pack_block_v2_numpy(brows, bcols, bvals, nr_rows, value_dtype, q,
-                         GL, G):
-    """NumPy v2 fallback: partition the block into GL-group-aligned
-    subwindows and pack each with the classic matcher (correct but
-    conservative — the C++ path places chunks at unaligned bases and
-    splits runs only where a chunk's own span forces it)."""
+                         GL, G, slab=0):
+    """NumPy v2 fallback: partition the block into (row slab,
+    GL-group-aligned subwindow) cells and pack each with the classic
+    matcher (correct but conservative — the C++ path places chunks at
+    unaligned bases and splits runs only where a chunk's own span
+    forces it)."""
     sub_w = GL * CHUNK * STRIPE
     sw_of = bcols // sub_w
-    order = np.argsort(sw_of, kind="stable")
-    bounds = np.searchsorted(sw_of[order], np.arange(-(-G // GL) + 1))
+    slab_of = (brows // slab).astype(np.int64) if slab else \
+        np.zeros(brows.shape[0], dtype=np.int64)
+    nsw = -(-G // GL)
+    key = slab_of * nsw + sw_of
+    order = np.argsort(key, kind="stable")
+    n_keys = int(key.max()) + 1 if key.size else 0
+    bounds = np.searchsorted(key[order], np.arange(n_keys + 1))
     vs, cs, rs, ms, bases = [], [], [], [], []
-    for s in range(bounds.shape[0] - 1):
-        lo, hi = int(bounds[s]), int(bounds[s + 1])
+    for kk in range(n_keys):
+        lo, hi = int(bounds[kk]), int(bounds[kk + 1])
         if lo == hi:
             continue
+        s = kk % nsw
         idx = order[lo:hi]
         prow, pcol, pval, preal = _pad_rows_to_chunks(
             brows[idx], (bcols[idx] - s * sub_w).astype(np.int32),
@@ -467,7 +474,8 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
                  shuffle_lanes: Optional[bool] = None,
                  G: Optional[int] = None,
                  Q: Optional[int] = None,
-                 GL: Optional[int] = None) -> GStreamMatrix:
+                 GL: Optional[int] = None,
+                 slab: int = 0) -> GStreamMatrix:
     """Pack a CSR matrix into GStream (create_csr_hw_matrix analogue,
     csr_hw.cpp:377-1398, collapsed to one parameterized routine).
 
@@ -480,6 +488,11 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
     window groups at a per-tile dynamic base, so the kernel's select
     chain costs O(GL) while the padding window stays the full G groups
     (the big-window fill at small-window speed).  Requires G % GL == 0.
+
+    ``slab`` > 0 (a multiple of 128, with GL) orders chunks by
+    (row // slab, group) instead of (group): positions stay
+    row-slab-contiguous, so the flat V2 final level applies on top of
+    the v2 forward kernel.
     """
     nr_rows, nr_cols = matrix.nr_rows, matrix.nr_cols
     if tiles_per_step is None:
@@ -562,14 +575,14 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
             if native_v2 is not None:
                 v, c, r, mm, tb = native_v2(
                     brows, local, bvals.astype(np.float32, copy=False),
-                    nr_rows, q=Q, GL=GL, G=G)
+                    nr_rows, q=Q, GL=GL, G=G, slab_rows=slab)
                 v = v.reshape(-1, CHUNK, LANES)
                 c = c.reshape(-1, CHUNK, LANES)
                 r = r.reshape(-1, CHUNK, LANES)
             else:
                 v, c, r, mm, tb = _pack_block_v2_numpy(
                     brows, local.astype(np.int64), bvals, nr_rows,
-                    value_dtype, Q, GL, G)
+                    value_dtype, Q, GL, G, slab)
             all_b.append(tb)
         else:
             prow, pcol, pval, preal = _pad_rows_to_chunks(
@@ -617,8 +630,9 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
         Q=Q, GL=GL or 0,
         tile_base=np.concatenate(all_b) if GL else None,
         # v2 first-fit orders chunks by column group, not row: positions
-        # are only row-major (V2-finish-eligible) for the classic layout
-        ordered=not shuffle_lanes and not GL)
+        # are row-slab-local (V2-finish-eligible) only for the classic
+        # layout or the slab-sorted v2 layout
+        ordered=not shuffle_lanes and (not GL or slab > 0))
 
 
 def _shuffle_chunk_lanes(values, route, chunk_row, seed: int = 0x5eed,
