@@ -24,11 +24,12 @@ from .api import SparseMatrix, pack as pack_matrix, spmv, unpack
 from .formats import (CSRMatrix, COOMatrix, BSRMatrix, read_matrix,
                       spmv_gold, verification)
 from .kernels import SpGEMMPlan, spgemm
+from .kernels.f64emu import DF64
 from .utils import SpmvConfig
 
 __all__ = [
     "SparseMatrix", "pack_matrix", "spmv", "unpack", "CSRMatrix",
     "COOMatrix", "BSRMatrix", "read_matrix", "spmv_gold", "verification",
-    "SpGEMMPlan", "spgemm",
+    "SpGEMMPlan", "spgemm", "DF64",
     "SpmvConfig", "formats", "pack", "kernels", "api", "utils",
 ]

@@ -94,18 +94,20 @@ class SparseMatrix:
     def spmv(self, x):
         """y = A @ x (spmv_hw analogue, csr_hw_wrapper.cpp:193-288, with the
         per-block device calls and host accumulation fused into one device
-        program).  f64 configs return a float64 numpy array (joined from
-        the device's two-float planes); f32 returns a jax.Array."""
+        program).
+
+        f64 configs: an eager host-array ``x`` returns a float64 numpy
+        array (joined from the device's two-float planes); a ``DF64`` or
+        traced ``x`` returns a ``DF64`` pytree, so df64 SpMV composes
+        with jit / lax.while_loop (solvers.cg_df64 runs the reference's
+        DOUBLE=1 solve end-to-end on device).  f32 returns a jax.Array."""
         if self._backend == "pallas":
             if self.config.is_double:
-                if isinstance(x, jax.core.Tracer):
-                    raise TypeError(
-                        "f64-emulated spmv joins its two-float result on "
-                        "the host, so it cannot be traced by jit / "
-                        "while_loop.  Inside jitted code either use the "
-                        "f32 path (SpmvConfig(dtype=np.float32)) or call "
-                        "the device's (hi, lo) interface directly "
-                        "(SparseMatrix._device.spmv).")
+                from ..kernels.f64emu import DF64
+                if isinstance(x, DF64) or isinstance(x, jax.core.Tracer):
+                    yh, yl = self._device.spmv(
+                        self._device.prepare_x(x), x_is_packed=True)
+                    return DF64(yh, yl)
                 return self._device.spmv_f64(x)
             return self._device.spmv(x)
         x = jnp.asarray(x, dtype=self.dtype)
@@ -114,12 +116,13 @@ class SparseMatrix:
 
     def spmm(self, x):
         """Y = A @ X for X of shape (nr_cols, k) (multi-RHS extension) —
-        fused kernel: one metadata fetch serves all k right-hand sides."""
+        fused kernel: one metadata fetch serves all k right-hand sides
+        (for DOUBLE configs too: the df64 SpMM streams the packed matrix
+        once for all k, not k host-joined spmv calls)."""
         if self._backend == "pallas":
             if self.config.is_double:
-                x = np.asarray(x, dtype=np.float64)
-                return np.stack([self._device.spmv_f64(x[:, k])
-                                 for k in range(x.shape[1])], axis=1)
+                from ..kernels.f64emu import spmm_df64
+                return spmm_df64(self._device, x)
             from ..kernels.spmm import spmm_gstream
             return spmm_gstream(self._device, jnp.asarray(x))
         x = jnp.asarray(x)
@@ -135,6 +138,18 @@ class SparseMatrix:
                 raise ValueError("SpGEMM needs the pallas backend")
             from ..pack.gather_stream import unpack_gstream
             return spgemm(unpack_gstream(self._packed), other)
+        if self.config.is_double:
+            # keep full input precision on the DOUBLE path: jnp.asarray
+            # would truncate float64 x to f32 before the (hi, lo) split
+            from ..kernels.f64emu import DF64
+            if isinstance(x, DF64):
+                return self.spmv(x)
+            xa = x if isinstance(x, jax.core.Tracer) else np.asarray(x)
+            if xa.ndim == 1:
+                return self.spmv(xa)
+            if xa.ndim == 2:
+                return self.spmm(xa)
+            raise ValueError("operand must be a vector or matrix")
         x = jnp.asarray(x)
         if x.ndim == 1:
             return self.spmv(x)

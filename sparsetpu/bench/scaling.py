@@ -34,26 +34,27 @@ def _measure(sh, x, on_tpu: bool) -> float:
 
     def build(k):
         @jax.jit
-        def loop(xi):
+        def loop(s, xi):
             def body(i, carry):
                 xc, acc = carry
-                y = sh.spmv(xc)
+                y = s.spmv(xc)
                 return (xc + y[0] * 1e-30, acc + y[0])
             return jax.lax.fori_loop(0, k, body, (xi, jnp.float32(0)))[1]
         return loop
 
-    # note: sh's arrays are sharded jax.Arrays; they reach the jit as
-    # closure constants but XLA keeps sharded arrays as parameters
+    # sh passes through jit as a pytree ARGUMENT (registered in
+    # dist/spmv_dist.py) — closing over the packed arrays would bake
+    # them into the HLO as constants (remote-compile HTTP 413)
     ln, lb = build(n_hi), build(n_lo)
-    float(ln(xj)), float(lb(xj))
+    float(ln(sh, xj)), float(lb(sh, xj))
     diffs = []
     for r in range(3):
         xr = xj + jnp.float32(1e-6 * (r + 1))
         t0 = time.perf_counter()
-        float(lb(xr))
+        float(lb(sh, xr))
         tb = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(ln(xr))
+        float(ln(sh, xr))
         tn = time.perf_counter() - t0
         diffs.append((tn - tb) / (n_hi - n_lo))
     diffs.sort()

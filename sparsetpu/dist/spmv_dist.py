@@ -101,6 +101,35 @@ class ShardedSpmv:
         return _scatter_rows(y, self.row_starts, self.nr_rows)
 
 
+def _shspmv_flatten(s):
+    children = (s.values, s.meta16, s.chunk_row, s.step_window,
+                s.fin_meta, s.fin_cell, s.fin_route, s.fin_spill_pos,
+                s.fin_spill_row)
+    aux = (s.mesh, s.axis, s.nr_rows, s.nr_cols, s.nr_nzeros,
+           tuple(int(v) for v in s.row_starts), s.rows_per_part, s.G,
+           s.tiles_per_step, s.n_steps, s.padded_cols, s.planes,
+           s.interpret, s.fin_static)
+    return children, aux
+
+
+def _shspmv_unflatten(aux, children):
+    s = object.__new__(ShardedSpmv)
+    (s.mesh, s.axis, s.nr_rows, s.nr_cols, s.nr_nzeros, row_starts,
+     s.rows_per_part, s.G, s.tiles_per_step, s.n_steps, s.padded_cols,
+     s.planes, s.interpret, s.fin_static) = aux
+    s.row_starts = np.asarray(row_starts)
+    (s.values, s.meta16, s.chunk_row, s.step_window, s.fin_meta,
+     s.fin_cell, s.fin_route, s.fin_spill_pos, s.fin_spill_row) = children
+    return s
+
+
+# ShardedSpmv flows through jit as an ARGUMENT (closing over its sharded
+# arrays would bake them into the HLO as constants — the anti-pattern
+# flagged by ADVICE r1 on bench/scaling.py)
+jax.tree_util.register_pytree_node(ShardedSpmv, _shspmv_flatten,
+                                   _shspmv_unflatten)
+
+
 def _scatter_rows(y_parts, row_starts, nr_rows):
     """Concatenate per-partition contiguous row ranges into the global y."""
     parts = []

@@ -19,17 +19,31 @@ def _lib():
     if _LIB is None:
         here = os.path.dirname(__file__)
         path = os.path.join(here, _LIB_NAME)
-        if not os.path.exists(path):
-            # first use on a fresh checkout: build in place
+        if not os.path.exists(path) and os.environ.get(
+                "SPARSETPU_AUTOBUILD", "1") not in ("0", "false", "no"):
+            # first use on a fresh checkout: build in place.  Gate with
+            # SPARSETPU_AUTOBUILD=0 for sandboxed/production environments
+            # (ADVICE r1: a silent import-time `make` can mask a broken
+            # toolchain); build failures warn with the captured stderr.
             import subprocess
+            import warnings
             try:
                 subprocess.run(["make", "-C", here], check=True,
                                capture_output=True, timeout=120)
-            except Exception:
-                pass
+            except subprocess.CalledProcessError as e:
+                warnings.warn(
+                    "sparsetpu native auto-build failed (falling back to "
+                    "the NumPy pack engine):\n"
+                    + e.stderr.decode(errors="replace")[-2000:],
+                    RuntimeWarning)
+            except Exception as e:
+                warnings.warn(
+                    f"sparsetpu native auto-build failed: {e!r} (falling "
+                    "back to the NumPy pack engine)", RuntimeWarning)
         if not os.path.exists(path):
             raise FileNotFoundError(
-                f"{_LIB_NAME} not built; run `make -C sparsetpu/native`")
+                f"{_LIB_NAME} not built; run `make -C sparsetpu/native` "
+                "(or set SPARSETPU_AUTOBUILD=1)")
         lib = ctypes.CDLL(path)
         lib.stpu_count_triplets.restype = ctypes.c_longlong
         lib.stpu_count_triplets.argtypes = [ctypes.c_char_p]

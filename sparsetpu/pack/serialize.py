@@ -52,8 +52,17 @@ def load_gstream(path: str) -> GStreamMatrix:
 
 
 def save_device(path: str, device) -> None:
-    """Checkpoint a GStreamDevice including its finish (F levels + final),
-    so a resume pays neither the repack nor the reduction build."""
+    """Checkpoint a GStreamDevice or DF64GStreamDevice including its
+    finish (F levels + final), so a resume pays neither the repack nor
+    the reduction build."""
+    from ..kernels.f64emu import DF64GStreamDevice
+    if isinstance(device, DF64GStreamDevice):
+        return _save_df64_device(path, device)
+    from ..kernels.spmv_pallas import GStreamDevice
+    if not isinstance(device, GStreamDevice):
+        raise TypeError(
+            f"save_device supports GStreamDevice / DF64GStreamDevice, "
+            f"got {type(device).__name__}")
     arrs = {
         "values": np.asarray(device.values),
         "meta16": np.asarray(device.meta16),
@@ -100,13 +109,87 @@ def save_device(path: str, device) -> None:
     np.savez_compressed(path, **arrs)
 
 
+def _save_df64_device(path: str, device) -> None:
+    """df64 checkpoint: both f32 value planes + the shared metadata and
+    (legacy) final level (ADVICE r1: the f64 path previously raised
+    AttributeError here)."""
+    arrs = {
+        "df64": np.array([1]),
+        "vhi": np.asarray(device.vhi),
+        "vlo": np.asarray(device.vlo),
+        "meta16": np.asarray(device.meta16),
+        "step_window": np.asarray(device.step_window),
+        "chunk_row": device.meta.chunk_row,
+        "meta": _meta_vec(device.meta),
+    }
+    fin = device.final
+    if fin is not None:
+        arrs["fin_step_meta"] = np.asarray(fin.step_meta)
+        arrs["fin_cell"] = np.asarray(fin.cell_idx)
+        arrs["fin_route"] = np.asarray(fin.route)
+        arrs["fin_static"] = np.array(
+            [fin.n_steps, fin.tiles_per_step, fin.G, fin.nw, fin.nt_pad,
+             fin.x_pad_rows, fin.n_spills], dtype=np.int64)
+        if fin.spill_pos is not None:
+            arrs["fin_spill_pos"] = np.asarray(fin.spill_pos)
+            arrs["fin_spill_row"] = np.asarray(fin.spill_row)
+    np.savez_compressed(path, **arrs)
+
+
+def _load_df64_device(z, interpret: bool):
+    import jax.numpy as jnp
+    from ..kernels.f64emu import DF64GStreamDevice
+    from ..kernels.spmv_pallas import _FinalLevel
+
+    mm = z["meta"]
+    m16 = z["meta16"].astype(np.int32) & 0x7FFF
+    meta = GStreamMatrix(
+        values=z["vhi"], cell_idx=(m16 >> 7).astype(np.int16),
+        route=(m16 & 0x7F).astype(np.int8),
+        chunk_row=z["chunk_row"], step_window=z["step_window"],
+        nr_rows=int(mm[0]), nr_cols=int(mm[1]), nr_nzeros=int(mm[2]),
+        G=int(mm[3]), tiles_per_step=int(mm[4]),
+        padded_cols=int(mm[5]), Q=_meta_q(mm))
+    d = object.__new__(DF64GStreamDevice)
+    d.meta = meta
+    d.interpret = interpret
+    d.vhi = jnp.asarray(z["vhi"])
+    d.vlo = jnp.asarray(z["vlo"])
+    d.meta16 = jnp.asarray(z["meta16"])
+    d.step_window = jnp.asarray(z["step_window"])
+    cr = meta.chunk_row.reshape(-1).astype(np.int64)
+    d._cr_np = cr
+    if "fin_static" in z:
+        s = z["fin_static"]
+        sp = z["fin_spill_pos"] if "fin_spill_pos" in z else \
+            np.zeros(0, np.int32)
+        sr = z["fin_spill_row"] if "fin_spill_row" in z else \
+            np.zeros(0, np.int32)
+        d.final = _FinalLevel(z["fin_step_meta"], z["fin_cell"],
+                              z["fin_route"], int(s[0]), int(s[1]),
+                              int(s[2]), int(s[3]), int(s[4]), int(s[5]),
+                              sp, sr, interpret)
+        d.chunk_row = None
+        if d.final.spill_pos is not None:
+            order = np.argsort(sr, kind="stable")
+            d._spill_rows_sorted = jnp.asarray(sr[order])
+            d._spill_pos_sorted = jnp.asarray(sp[order])
+    else:
+        d.final = None
+        d.chunk_row = jnp.asarray(cr.astype(np.int32))
+    return d
+
+
 def load_device(path: str, interpret: bool = False):
-    """Restore a GStreamDevice checkpoint written by save_device."""
+    """Restore a GStreamDevice / DF64GStreamDevice checkpoint written by
+    save_device."""
     import jax.numpy as jnp
     from ..kernels.spmv_pallas import (GStreamDevice, _FinalLevel,
                                        _FinalLevelV2, _FLevel)
 
     z = np.load(path)
+    if "df64" in z:
+        return _load_df64_device(z, interpret)
     meta = z["meta"]
 
     def gs(prefix=""):

@@ -1,0 +1,9 @@
+from .cg import (CGResult, bicgstab, cg, cg_df64, cg_step,
+                 jacobi_iteration, jacobi_preconditioner, pcg,
+                 power_iteration)
+
+__all__ = [
+    "CGResult", "bicgstab", "cg", "cg_df64", "cg_step",
+    "jacobi_iteration", "jacobi_preconditioner", "pcg",
+    "power_iteration",
+]
