@@ -1,0 +1,86 @@
+"""SuiteSparse SpMV benchmark suite.
+
+One command reproduces the reference's benchmark protocol
+(/root/reference/README.md:23-29: one run per external matrix file) over
+the classic SpMV set: per matrix PASS/FAIL, Gnnz/s, GFLOP/s, fraction of
+the HBM roofline, fill factor and pack time.
+
+    python -m sparsetpu.bench.suite                 # whole classic set
+    python -m sparsetpu.bench.suite scircuit pwtk   # a subset
+    python -m sparsetpu.bench.suite --json          # machine-readable
+
+Real matrices are fetched and cached (formats/suitesparse.py); on
+air-gapped machines either pre-place the .mtx files in the cache dir or
+pass --synthetic to run the protocol on published-statistics stand-ins
+(rows marked ``synthetic`` in the table — they measure the engine, not
+the original operator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+
+def run_suite(names: Optional[List[str]] = None,
+              allow_synthetic: bool = False, verbose: bool = True):
+    from ..formats.suitesparse import CLASSIC_SUITE, fetch
+    from .harness import bench_spmv
+
+    names = names or list(CLASSIC_SUITE)
+    rows = []
+    for name in names:
+        try:
+            m, is_real = fetch(name, allow_synthetic=allow_synthetic)
+        except (ConnectionError, KeyError) as e:
+            if verbose:
+                print(f"{name:18s} SKIP ({e})", flush=True)
+            rows.append({"matrix": name, "status": "skip",
+                         "reason": str(e)})
+            continue
+        import numpy as np
+        m.values = m.values.astype(np.float32)
+        from ..utils.config import SpmvConfig
+        r = bench_spmv(m, name=name,
+                       config=SpmvConfig(dtype=np.float32))
+        rows.append({
+            "matrix": name, "status": "real" if is_real else "synthetic",
+            "rows": r.nr_rows, "cols": r.nr_cols, "nnz": r.nr_nzeros,
+            "pack_ms": round(r.pack_ms, 1),
+            "gnnz_s": round(r.gnnz_s, 3),
+            "gflop_s": round(r.gflop_s, 3),
+            "roofline_frac": round(r.roofline_frac, 3),
+            "fill": round(r.fill_factor, 3),
+            "verify": "PASS" if r.verify_errors == 0 else "FAIL",
+        })
+        if verbose:
+            tag = "" if is_real else "  [synthetic stand-in]"
+            print(f"{name:18s} {r.nr_rows:9d}x{r.nr_cols:<9d} "
+                  f"{r.nr_nzeros:10d}nnz  {r.gnnz_s:7.2f} Gnnz/s  "
+                  f"{100 * r.roofline_frac:5.1f}% roof  "
+                  f"fill={r.fill_factor:.3f}  "
+                  f"{'PASS' if r.verify_errors == 0 else 'FAIL'}{tag}",
+                  flush=True)
+    return rows
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sparsetpu.bench.suite")
+    ap.add_argument("names", nargs="*", help="matrix names (default all)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="substitute published-statistics stand-ins when "
+                         "the download fails (offline machines)")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+    rows = run_suite(args.names or None, allow_synthetic=args.synthetic,
+                     verbose=not args.json)
+    if args.json:
+        print(json.dumps(rows))
+    failed = any(r.get("verify") == "FAIL" for r in rows)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -180,13 +180,13 @@ def pack_blocked(matrix: CSRMatrix, config: Optional[SpmvConfig] = None
                     np.zeros((0, RATIO_CI), np.uint16), 0, 0, 0, 0))
             else:
                 prow.append(_pack_one(r, c, v.astype(cfg.dtype), b * bc,
-                                      cfg.vf, cfg.dtype))
+                                      cfg.vf or 1, cfg.dtype))
         subs.append(prow)
     return BlockedHwMatrix(
         submatrices=subs, empty_rows_bitmap=bitmap,
         part_row_start=part.row_start, part_row_end=part.row_end,
         nr_rows=matrix.nr_rows, nr_cols=matrix.nr_cols,
-        nr_nzeros=matrix.nr_nzeros, block_cols=bc, vf=cfg.vf,
+        nr_nzeros=matrix.nr_nzeros, block_cols=bc, vf=cfg.vf or 1,
         dtype=np.dtype(cfg.dtype))
 
 

@@ -53,7 +53,7 @@ def scan_matrix(matrix: CSRMatrix, config: SpmvConfig) -> BlockScan:
     counts = np.bincount(flat, minlength=nr_blocks * matrix.nr_rows)
     block_row_nnz = counts.reshape(nr_blocks, matrix.nr_rows)
 
-    vf = config.vf
+    vf = config.vf or 1   # 0 = auto quantum: report unpadded counts
     padded = ((block_row_nnz + vf - 1) // vf) * vf
     empty = block_row_nnz == 0
 
