@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Ring-schedule overlap evidence (VERDICT r1 item 9).
+
+Single-chip hardware cannot run a real multi-chip ring, but the XLA TPU
+compiler can: this script AOT-compiles the production ring SpMV program
+(dist/ring.py) for an 8-chip v5e topology and inspects the *scheduled*
+HLO.  The claim "the ppermute of step s+1 rides under the Pallas kernel
+of step s" is TRUE iff the schedule places real work between
+``collective-permute-start`` and ``collective-permute-done`` — an async
+pair with the SpMV custom-call in between proves the DMA is in flight
+while the kernel runs; start immediately followed by done proves it
+serializes.
+
+Run:  env PYTHONPATH=/root/repo python scripts/ring_overlap_proof.py
+"""
+
+import re
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sparsetpu.dist import ring as ring_mod
+    from sparsetpu.formats.random import random_csr
+
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    n_dev = len(topo.devices)
+    mesh = Mesh(np.array(topo.devices), ("rows",))
+    print(f"AOT topology: v5e 2x4 ({n_dev} devices)")
+
+    # host-side pack of a small ring-sharded matrix to get real shapes
+    m = random_csr(n_dev * 1024, n_dev * 8192, density=0.004, seed=3,
+                   dtype=np.float32)
+    # build the host arrays exactly as ring_shard_spmv does, but without
+    # device_put (we only need shapes/dtypes for AOT lowering)
+    import unittest.mock as mock
+    captured = {}
+
+    real_device_put = jax.device_put
+
+    def fake_device_put(x, sharding=None):
+        return np.asarray(x)
+
+    with mock.patch.object(jax, "device_put", fake_device_put):
+        rs = ring_mod.ring_shard_spmv(m, mesh, interpret=False)
+
+    sh = NamedSharding(mesh, P("rows"))
+
+    def sds(a):
+        return jax.ShapeDtypeStruct(np.asarray(a).shape,
+                                    np.asarray(a).dtype, sharding=sh)
+
+    fin = tuple(sds(a) if a is not None else None
+                for a in (rs.fin_meta, rs.fin_cell, rs.fin_route,
+                          rs.fin_spill_pos, rs.fin_spill_row))
+    x = jax.ShapeDtypeStruct((rs.seg_cols * n_dev,), np.float32,
+                             sharding=sh)
+    lowered = ring_mod._ring_spmv_jit.lower(
+        sds(rs.values), sds(rs.meta16), sds(rs.step_window), fin, x,
+        mesh=mesh, axis="rows", rows_per_part=rs.rows_per_part, G=rs.G,
+        tiles_per_step=rs.tiles_per_step, n_steps_seg=rs.n_steps_seg,
+        planes=rs.planes, fin_static=rs.fin_static, interpret=False)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+
+    # analyze the scheduled module: ops between each async
+    # collective-permute start/done pair
+    lines = hlo.splitlines()
+    pairs = []
+    open_starts = {}
+    for i, ln in enumerate(lines):
+        mstart = re.search(r"%?(\S*collective-permute-start\S*)\s*=", ln)
+        if "collective-permute-start" in ln and "=" in ln:
+            name = ln.split("=")[0].strip().lstrip("%")
+            open_starts[name] = i
+        if "collective-permute-done" in ln:
+            for name, i0 in list(open_starts.items()):
+                if name in ln:
+                    pairs.append((name, i0, i))
+                    del open_starts[name]
+    n_async = 0
+    overlapped = 0
+    kernel_between = 0
+    for name, i0, i1 in pairs:
+        gap = [l for l in lines[i0 + 1:i1]
+               if "=" in l and "done" not in l]
+        n_async += 1
+        if gap:
+            overlapped += 1
+        if any("custom-call" in l or "fusion" in l for l in gap):
+            kernel_between += 1
+    print(f"collective-permute async pairs: {n_async}; "
+          f"{overlapped} with work scheduled between start/done; "
+          f"{kernel_between} with a kernel/fusion in the gap")
+    verdict = ("OVERLAPPED" if kernel_between else
+               ("PARTIAL" if overlapped else "SERIALIZED"))
+    print("verdict:", verdict)
+    if n_async == 0:
+        print("note: no async pairs found — the permute may have been "
+              "lowered synchronously; dumping op mix:")
+        for key in ("collective-permute", "custom-call"):
+            print(f"  {key}: {hlo.count(key)}")
+    return 0 if kernel_between else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
