@@ -165,6 +165,45 @@ def bench_ladder(n_tiles=8192, tiles_per_step=16, G_list=(1, 2, 4, 8, 16, 32),
                                   xw0, chain_n),
            int(idx16.nbytes) + int(cell16.nbytes))
 
+    # -- tilebase: per-tile dynamic window base (v2 layout) — one
+    # 8-sublane gather at a scalar-prefetched offset; the flat
+    # alternative to the chain (chain-32 46.5 vs tilebase 116 Gslot/s
+    # measured on v5e, within 3% of dual — VERDICT r1 item 2)
+    def k_tb(base_ref, xw_ref, v_ref, j_ref, c_ref, o_ref):
+        i = pl.program_id(0)
+        for t in range(T):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            b = base_ref[i, t]
+            i1 = jnp.bitwise_and(c_ref[sl, :].astype(jnp.int32), CHUNK - 1)
+            j = j_ref[sl, :].astype(jnp.int32)
+            g1 = jnp.take_along_axis(
+                xw_ref[pl.ds(b * CHUNK, CHUNK), :], i1, axis=0)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            o_ref[t, :] = jnp.sum(v_ref[sl, :] * g2, axis=0)
+    bases = jax.device_put(
+        rng.integers(0, 32, size=(n_steps, T)).astype(np.int32))
+    try:
+        gs_tb = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((CHUNK * 32, LANES), lambda i, b: (0, 0)),
+                pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((T, LANES), lambda i, b: (i, 0)))
+        f = pl.pallas_call(
+            k_tb, grid_spec=gs_tb,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), jnp.float32))
+        report("tilebase",
+               timeit_chained(lambda xw: f(bases, xw, val, idx16, cell16),
+                              xw0, chain_n),
+               int(idx16.nbytes) + int(cell16.nbytes))
+    except Exception as e:
+        if verbose:
+            print(f"  tilebase: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+
     # -- chain-G: G-group select chain
     for G in G_list:
         if G == 1:
