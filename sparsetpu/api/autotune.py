@@ -36,7 +36,13 @@ def autotune_pack(matrix, candidates: Optional[Sequence] = None,
     if candidates is None:
         gs = sorted({max(1, g0 // 2), g0, min(MAX_G, g0 * 2)})
         qs = sorted({max(1, q0 // 2), q0, min(8, q0 * 2)} & set(VALID_Q))
-        candidates = sorted({(g, q0) for g in gs} | {(g0, q) for q in qs})
+        candidates = sorted({(g, q0) for g in gs} | {(g0, q) for q in qs}
+                            # diagonal neighbors: half the window with
+                            # double the quantum and vice versa (the
+                            # finish-vs-fill tradeoff the static model
+                            # gets wrong on small scattered matrices)
+                            | {(max(1, g0 // 2), min(8, q0 * 2)),
+                               (min(MAX_G, g0 * 2), min(8, q0 * 2))})
     else:
         # bare ints are window sizes (the pre-Q calling convention)
         candidates = [(c, q0) if isinstance(c, (int, np.integer))

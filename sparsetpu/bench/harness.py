@@ -86,7 +86,11 @@ class BenchResult:
 
 def bench_spmv(matrix: CSRMatrix, name: str = "random",
                config: Optional[SpmvConfig] = None, repeats: int = 20,
-               backend: str = "pallas") -> BenchResult:
+               backend: str = "pallas",
+               autotune: bool = False) -> BenchResult:
+    """``autotune=True`` measures candidate (G, Q) layouts on the device
+    and benchmarks the fastest (api.autotune_pack) — the production
+    pattern for matrices multiplied thousands of times."""
     import jax
     from ..api.api import SparseMatrix
     from ..pack.scan import scan_matrix
@@ -103,7 +107,11 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         scan_matrix(matrix, cfg)
 
     with timer.phase("pack"):
-        sm = SparseMatrix(matrix, cfg, backend=backend)
+        if autotune and backend == "pallas" and not cfg.is_double:
+            from ..api.autotune import autotune_pack
+            sm = autotune_pack(matrix)
+        else:
+            sm = SparseMatrix(matrix, cfg, backend=backend)
         xp = sm.prepare_x(x)
         jax.block_until_ready(sm.spmv_packed_x(xp))  # compile + upload
     y = np.asarray(sm.spmv_packed_x(xp))

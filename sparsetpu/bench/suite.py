@@ -24,7 +24,8 @@ from typing import List, Optional
 
 
 def run_suite(names: Optional[List[str]] = None,
-              allow_synthetic: bool = False, verbose: bool = True):
+              allow_synthetic: bool = False, verbose: bool = True,
+              autotune: bool = False):
     from ..formats.suitesparse import CLASSIC_SUITE, fetch
     from .harness import bench_spmv
 
@@ -43,7 +44,8 @@ def run_suite(names: Optional[List[str]] = None,
         m.values = m.values.astype(np.float32)
         from ..utils.config import SpmvConfig
         r = bench_spmv(m, name=name,
-                       config=SpmvConfig(dtype=np.float32))
+                       config=SpmvConfig(dtype=np.float32),
+                       autotune=autotune)
         rows.append({
             "matrix": name, "status": "real" if is_real else "synthetic",
             "rows": r.nr_rows, "cols": r.nr_cols, "nnz": r.nr_nzeros,
@@ -71,10 +73,13 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic", action="store_true",
                     help="substitute published-statistics stand-ins when "
                          "the download fails (offline machines)")
+    ap.add_argument("--autotune", action="store_true",
+                    help="measure candidate (G, Q) layouts per matrix "
+                         "and benchmark the fastest")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
     rows = run_suite(args.names or None, allow_synthetic=args.synthetic,
-                     verbose=not args.json)
+                     verbose=not args.json, autotune=args.autotune)
     if args.json:
         print(json.dumps(rows))
     failed = any(r.get("verify") == "FAIL" for r in rows)

@@ -28,8 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--double", action="store_true",
                    help="double precision gold/tolerance (DOUBLE=1, "
                         "Makefile:18); device path is f32/f64-emulated")
-    p.add_argument("--vf", type=int, default=8, choices=(1, 2, 4, 8),
-                   help="vector factor (VF, Makefile:17)")
+    p.add_argument("--vf", type=int, default=0, choices=(0, 1, 2, 4, 8),
+                   help="vector factor / row-pad quantum (VF, "
+                        "Makefile:17); 0 = chosen by the layout model")
     p.add_argument("--partitions", type=int, default=1,
                    help="row partitions (CU, Makefile:14; any >=1)")
     p.add_argument("--backend", default="pallas",
