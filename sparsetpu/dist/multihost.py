@@ -25,8 +25,7 @@ emulator-style fake backend (SURVEY.md section 4).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -72,8 +71,7 @@ def shard_spmv_multihost(matrix: CSRMatrix, mesh=None, axis: str = "rows",
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from .spmv_dist import (ShardedSpmv, _build_shard_finals, _slice_rows,
-                            make_mesh)
+    from .spmv_dist import ShardedSpmv, _slice_rows, make_mesh
     from ..kernels.spmv_pallas import combine_meta
 
     if mesh is None:

@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..pack.gather_stream import CHUNK, GStreamMatrix, LANES, STRIPE
+from ..pack.gather_stream import CHUNK, LANES, STRIPE
 from .spmv_xla import spmv_chunked_xla
 
 
