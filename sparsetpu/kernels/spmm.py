@@ -106,7 +106,9 @@ def spmm_gstream(device, x_multi) -> jax.Array:
         n_steps=meta.n_steps, k=k, P=meta.planes,
         interpret=device.interpret)
     # fused multi-plane finish: one metadata fetch serves all k planes
-    from .spmv_pallas import _FinalLevel
+    from .spmv_pallas import _FinalLevel, _FinalLevelV2
+    if isinstance(device.final, _FinalLevelV2) and not device.finish:
+        return _final_v2_sums_multi(device.final, cs, meta.nr_rows)
     if isinstance(device.final, _FinalLevel) and not device.finish:
         return _final_gather_sums_multi(device.final, cs, meta.nr_rows)
     return jnp.stack([device.finish_vec(cs[kk]) for kk in range(k)],
@@ -150,6 +152,88 @@ def _final_multi_kernel(sw_ref, *refs, tiles_per_step: int, G: int,
     @pl.when(jnp.logical_not(first))
     def _():
         out_ref[...] = out_ref[...] + acc
+
+
+def _final_v2_multi_kernel(sw_ref, tb_ref, *refs, tiles_per_step: int,
+                           GL_f: int, nwin: int, k: int):
+    """Multi-plane variant of the flat V2 final (see
+    spmv_pallas._final_kernel_v2): per-tile dynamic window bases shared
+    by all k chunk-sum planes."""
+    xw_refs = refs[:nwin]
+    cell_ref, route_ref, out_ref = refs[nwin:]
+    i = pl.program_id(0)
+    first = sw_ref[i, nwin] == 1
+    accs = []
+    for kk in range(k):
+        parts = []
+        for t in range(tiles_per_step):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            i1 = cell_ref[sl, :].astype(jnp.int32)
+            j = route_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+            g1 = jnp.zeros((CHUNK, LANES), dtype=out_ref.dtype)
+            for w in range(nwin):
+                b = tb_ref[i, t * nwin + w]
+                xwin = xw_refs[w][kk, pl.ds(b * CHUNK, CHUNK * GL_f), :]
+                for g in range(GL_f):
+                    part = jnp.take_along_axis(
+                        xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                    g1 = jnp.where(grp == w * GL_f + g, part, g1)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            parts.append(jnp.sum(g2, axis=0))
+        accs.append(jnp.stack(parts, axis=0))
+    acc = jnp.stack(accs, axis=0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] = out_ref[...] + acc
+
+
+def _final_v2_sums_multi(fin, cs, nr_rows: int) -> jax.Array:
+    """Apply a _FinalLevelV2 to (k, n_positions/128, 128) chunk-sum
+    planes; returns (nr_rows, k)."""
+    k = int(cs.shape[0])
+    flat = cs.reshape(k, -1)
+    need = fin.x_pad_rows * STRIPE
+    if flat.shape[1] < need:
+        flat = jnp.pad(flat, ((0, 0), (0, need - flat.shape[1])))
+    x3 = flat[:, :need].reshape(k, -1, STRIPE)
+    tps, GL_f, nwin, GS = fin.tiles_per_step, fin.GL_f, fin.nwin, fin.GS
+    rows_per_step = tps * CHUNK
+
+    def win_spec(w):
+        return pl.BlockSpec((k, CHUNK * GS, LANES),
+                            lambda i, sw, tb, w=w: (0, sw[i, w], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(fin.n_steps,),
+        in_specs=[win_spec(w) for w in range(nwin)] + [
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw, tb: (i, 0)),
+            pl.BlockSpec((rows_per_step, LANES), lambda i, sw, tb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((k, tps, LANES),
+                               lambda i, sw, tb: (0, sw[i, nwin + 1], 0)),
+    )
+    kernel = functools.partial(_final_v2_multi_kernel, tiles_per_step=tps,
+                               GL_f=GL_f, nwin=nwin, k=k)
+    grid = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, fin.nt_pad, LANES), cs.dtype),
+        interpret=fin.interpret,
+    )(fin.step_meta, fin.tile_bases, *([x3] * nwin), fin.cell_idx,
+      fin.route)
+    y = grid.reshape(k, -1)[:, :nr_rows]
+    if fin.spill_pos is not None:
+        adds = jnp.take(cs.reshape(k, -1), fin.spill_pos, axis=1,
+                        mode="clip")
+        y = y.at[:, fin.spill_row].add(adds, mode="drop")
+    return y.T
 
 
 def _final_gather_sums_multi(fin, cs, nr_rows: int) -> jax.Array:
