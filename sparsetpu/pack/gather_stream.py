@@ -450,6 +450,10 @@ def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
             c2 = np.zeros(u2.shape[0], dtype=np.int64)
             np.add.at(c2, inv, counts)
         blk_of_pair = (u2 % nb).astype(np.int64)
+        # the flat V2 final needs <= 8 column blocks (its per-tile window
+        # chain is per block); more blocks fall back to the pricier
+        # legacy greedy-window final (~2x measured)
+        finish_scale = 1.0 if nb <= 8 else 2.0
         for q in q_candidates:
             p_planes = CHUNK // q
             chunks_pair = -(-c2 // q)
@@ -460,7 +464,8 @@ def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
             tiles_pad = (-(-tiles_blk // tiles_per_step)) * tiles_per_step
             slots = int(tiles_pad.sum()) * TILE_NNZ * MATCH_INFLATION[q]
             children = float(chunks_pair.sum())
-            t = slots / slot_rate(g, q) + children * FINISH_NS_PER_CHILD
+            t = slots / slot_rate(g, q) \
+                + children * FINISH_NS_PER_CHILD * finish_scale
             if best_t is None or t < best_t:
                 best, best_t = (g, q), t
         if break_after:
