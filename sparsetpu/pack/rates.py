@@ -112,10 +112,14 @@ def slot_rate(G: int, Q: int, kind: Optional[str] = None) -> float:
     return table.get((gn, Q), 80.0)
 
 
-def refresh_rates(verbose: bool = False) -> Dict[Tuple[int, int], float]:
+def refresh_rates(verbose: bool = False, combos=None,
+                  interpret: bool = False,
+                  n_tiles: int = 4096) -> Dict[Tuple[int, int], float]:
     """Measure the kernel rate at every (G, Q) on the current device and
     cache the table for this device kind.  Costs ~2-4 min of compiles on
-    first run; subsequent sessions read the cache."""
+    first run; subsequent sessions read the cache.  ``combos`` restricts
+    the sweep; ``interpret`` runs the interpreter (functional test only
+    — do not cache interpreter timings as real rates)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -127,7 +131,7 @@ def refresh_rates(verbose: bool = False) -> Dict[Tuple[int, int], float]:
 
     kind = _device_kind()
     rng = np.random.default_rng(0)
-    n_tiles, T = 4096, 128
+    T = min(128, n_tiles)
     rows = n_tiles * SUBLANES
     val = jax.device_put(
         rng.standard_normal((rows, LANES)).astype(np.float32))
@@ -135,11 +139,17 @@ def refresh_rates(verbose: bool = False) -> Dict[Tuple[int, int], float]:
     xw0 = jax.device_put(
         rng.standard_normal((SUBLANES * 32, LANES)).astype(np.float32))
     table = {}
-    for G in (1, 2, 4, 8, 16, 32):
-        cells = rng.integers(0, SUBLANES * G, size=(rows, LANES))
-        meta = jax.device_put(
-            ((cells << 7) | route).astype(np.int16))
-        for Q in (1, 2, 4, 8):
+    if combos is None:
+        combos = [(g, q) for g in (1, 2, 4, 8, 16, 32)
+                  for q in (1, 2, 4, 8)]
+    metas = {}
+    for G, Q in combos:
+        if True:
+            if G not in metas:
+                cells = rng.integers(0, SUBLANES * G, size=(rows, LANES))
+                metas[G] = jax.device_put(
+                    ((cells << 7) | route).astype(np.int16))
+            meta = metas[G]
             P = SUBLANES // Q
 
             def kern(xw, v, m, o, G=G, P=P):
@@ -160,19 +170,22 @@ def refresh_rates(verbose: bool = False) -> Dict[Tuple[int, int], float]:
                     out_specs=pl.BlockSpec((T * P, LANES),
                                            lambda i: (i, 0))),
                 out_shape=jax.ShapeDtypeStruct((n_tiles * P, LANES),
-                                               jnp.float32))
+                                               jnp.float32),
+                interpret=interpret)
 
-            def call(xw, f=f):
+            def call(xw, f=f, meta=meta):
                 return f(xw, val, meta)
 
-            t = timeit_chained(call, xw0, 256, 16)
+            t = timeit_chained(call, xw0, *((256, 16) if not interpret
+                                            else (2, 1)))
             table[(G, Q)] = n_tiles * 1024 / t / 1e9
             if verbose:
                 print(f"  G={G:2d} Q={Q}: {table[(G, Q)]:6.1f} Gslot/s",
                       flush=True)
     path = _cache_path(kind)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump({f"{g},{q}": v for (g, q), v in table.items()}, f)
-    _loaded[kind] = table
+    if not interpret:
+        with open(path, "w") as f:
+            json.dump({f"{g},{q}": v for (g, q), v in table.items()}, f)
+        _loaded[kind] = table
     return table

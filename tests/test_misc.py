@@ -33,3 +33,13 @@ def test_scaling_report_single_device():
     row = rep["weak_scaling"][0]
     assert row["verify_errors"] == 0
     assert row["weak_scaling_eff"] == 1.0
+
+
+def test_refresh_rates_interpret(tmp_path, monkeypatch):
+    """refresh_rates runs end-to-end in interpreter mode (functional
+    check; real-rate caching is chip-only)."""
+    monkeypatch.setenv("SPARSETPU_CACHE", str(tmp_path))
+    from sparsetpu.pack.rates import refresh_rates, slot_rate
+    t = refresh_rates(combos=[(2, 8)], interpret=True, n_tiles=16)
+    assert (2, 8) in t and t[(2, 8)] > 0
+    assert slot_rate(1, 8) > 0 and slot_rate(7, 4) > 0
