@@ -63,6 +63,8 @@ class BenchResult:
     gflop_s: float
     roofline_frac: float
     verify_errors: int
+    layout_g: int = 0
+    layout_q: int = 0
 
     def report(self) -> str:
         status = "PASS" if self.verify_errors == 0 else "FAIL"
@@ -220,4 +222,6 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         gnnz_s=nnz / total_s / 1e9,
         gflop_s=2 * nnz / total_s / 1e9,
         roofline_frac=floor_s / total_s,
-        verify_errors=errors)
+        verify_errors=errors,
+        layout_g=sm.packed.G if sm.packed is not None else 0,
+        layout_q=sm.packed.Q if sm.packed is not None else 0)

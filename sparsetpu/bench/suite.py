@@ -54,6 +54,7 @@ def run_suite(names: Optional[List[str]] = None,
             "gflop_s": round(r.gflop_s, 3),
             "roofline_frac": round(r.roofline_frac, 3),
             "fill": round(r.fill_factor, 3),
+            "layout": {"G": r.layout_g, "Q": r.layout_q},
             "verify": "PASS" if r.verify_errors == 0 else "FAIL",
         })
         if verbose:
