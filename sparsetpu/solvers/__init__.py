@@ -1,9 +1,9 @@
-from .cg import (CGResult, bicgstab, cg, cg_df64, cg_step,
+from .cg import (CGResult, bicgstab, cg, cg_df64, cg_step, gmres,
                  jacobi_iteration, jacobi_preconditioner, pcg,
                  power_iteration)
 
 __all__ = [
-    "CGResult", "bicgstab", "cg", "cg_df64", "cg_step",
+    "CGResult", "bicgstab", "cg", "cg_df64", "cg_step", "gmres",
     "jacobi_iteration", "jacobi_preconditioner", "pcg",
     "power_iteration",
 ]

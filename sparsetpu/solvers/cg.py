@@ -147,6 +147,63 @@ def bicgstab(spmv: Callable[[jax.Array], jax.Array], b: jax.Array,
     return CGResult(st[0], st[-1], jnp.linalg.norm(st[1]))
 
 
+def gmres(spmv: Callable[[jax.Array], jax.Array], b: jax.Array,
+          x0: Optional[jax.Array] = None, restart: int = 30,
+          tol: float = 1e-6, maxiter: int = 1000) -> CGResult:
+    """Restarted GMRES(m) for general A — the classic non-symmetric
+    workhorse next to ``bicgstab``.  Fixed-shape Arnoldi cycle inside
+    ``lax.while_loop`` (one compile, fully on device); the small
+    (m+1, m) least-squares solve uses jnp.linalg.lstsq."""
+    b = jnp.asarray(b, jnp.float32)
+    n = b.shape[0]
+    m = int(restart)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float32)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+
+    def cycle(x):
+        r = b - spmv(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), jnp.float32)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-30))
+        H = jnp.zeros((m + 1, m), jnp.float32)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = spmv(V[j])
+            # modified Gram-Schmidt against all m+1 basis vectors
+            # (rows > j are zero, so the extra dots are no-ops)
+            def mgs(i, wh):
+                w, H = wh
+                keep = i <= j
+                h = jnp.where(keep, jnp.vdot(V[i], w), 0.0)
+                return (w - h * V[i], H.at[i, j].set(h))
+
+            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            hnext = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hnext)
+            V = V.at[j + 1].set(w / jnp.maximum(hnext, 1e-30))
+            return (V, H)
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros((m + 1,), jnp.float32).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + V[:m].T @ y
+
+    def cond(st):
+        x, k = st
+        r = b - spmv(x)
+        return jnp.logical_and(jnp.linalg.norm(r) / bnorm > tol,
+                               k < maxiter)
+
+    def body(st):
+        x, k = st
+        return (cycle(x), k + m)
+
+    x, k = jax.lax.while_loop(cond, body, (x, jnp.int32(0)))
+    return CGResult(x=x, iterations=k,
+                    residual_norm=jnp.linalg.norm(b - spmv(x)))
+
+
 def power_iteration(spmv, n, iters: int = 50, seed: int = 0):
     """Dominant eigenvalue estimate — exercises repeated SpMV."""
     v = jax.random.normal(jax.random.PRNGKey(seed), (n,))

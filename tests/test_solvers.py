@@ -87,3 +87,24 @@ def test_jacobi_iteration_reduces_residual():
     x = np.asarray(jacobi_iteration(A.spmv, m, b, iters=200, omega=0.6))
     res = np.linalg.norm(b - np.asarray(A.spmv(x)))
     assert res < 0.5 * np.linalg.norm(b)
+
+
+def test_gmres_nonsymmetric():
+    from sparsetpu.solvers.cg import gmres
+    from sparsetpu.api.api import SparseMatrix
+    from sparsetpu.utils.config import SpmvConfig
+    import scipy.sparse as sp
+    from sparsetpu.formats.csr import CSRMatrix
+    rng = np.random.default_rng(3)
+    n = 400
+    # well-conditioned non-symmetric: I + small random sparse
+    s = sp.random(n, n, density=0.02, random_state=5,
+                  data_rvs=lambda k: 0.1 * rng.standard_normal(k))
+    a = (sp.eye(n) + s).tocsr().astype(np.float32)
+    m = CSRMatrix(a.indptr.astype(np.int32), a.indices.astype(np.int32),
+                  a.data, n, n)
+    A = SparseMatrix(m, SpmvConfig(dtype=np.float32))
+    b = rng.standard_normal(n).astype(np.float32)
+    res = gmres(A.spmv, b, restart=25, tol=1e-5, maxiter=300)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(a @ x - b) < 1e-3 * np.linalg.norm(b)
