@@ -96,6 +96,47 @@ def cg_df64(spmv, b, x0=None, tol: float = 1e-12,
     return CGResult(x, k, jnp.sqrt(rs.to_f32()))
 
 
+def pcg_df64(spmv, b, m_inv, x0=None, tol: float = 1e-12,
+             maxiter: int = 1000) -> CGResult:
+    """Jacobi-style preconditioned CG in df64 arithmetic: like
+    ``cg_df64`` but with ``m_inv`` applied to the residual each step
+    (``m_inv`` may return a DF64 or a plain f32 array)."""
+    from ..kernels.f64emu import DF64
+
+    b = b if isinstance(b, DF64) else DF64.from_f64(b)
+    x = (DF64(jnp.zeros_like(b.hi)) if x0 is None
+         else (x0 if isinstance(x0, DF64) else DF64.from_f64(x0)))
+
+    def mv(f, v):
+        out = f(v)
+        return out if isinstance(out, DF64) else DF64(out)
+
+    r = b - mv(spmv, x)
+    z = mv(m_inv, r)
+    p = z
+    rz = r.dot(z)
+    bb = b.dot(b).to_f32()
+    tol2 = jnp.float32(tol) ** 2 * jnp.maximum(bb, 1e-30)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return jnp.logical_and(r.dot(r).to_f32() > tol2, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = mv(spmv, p)
+        alpha = rz / p.dot(ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = mv(m_inv, r)
+        rz_new = r.dot(z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return CGResult(x, k, jnp.sqrt(r.dot(r).to_f32()))
+
+
 def cg_step(spmv: Callable[[jax.Array], jax.Array]):
     """One CG iteration as a standalone jittable step function — the
     framework's 'training step' for the multi-chip dry run."""

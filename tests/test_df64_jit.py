@@ -89,3 +89,16 @@ def test_save_device_rejects_unknown():
     from sparsetpu.pack.serialize import save_device
     with pytest.raises(TypeError):
         save_device("/tmp/x.npz", object())
+
+
+def test_pcg_df64():
+    from sparsetpu.solvers.cg import pcg_df64, jacobi_preconditioner
+    L = laplace_2d(16)
+    A = SparseMatrix(L)
+    b = np.ones(L.nr_rows, np.float64)
+    m_inv = jacobi_preconditioner(L)
+    res = jax.jit(lambda A, b: pcg_df64(A.spmv, b, m_inv, maxiter=300))(
+        A, DF64.from_f64(b))
+    x = res.x.to_f64()
+    resid = np.linalg.norm(L.to_scipy().astype(np.float64) @ x - b)
+    assert resid < 1e-6 * np.linalg.norm(b)
