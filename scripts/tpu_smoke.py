@@ -112,6 +112,32 @@ def main() -> int:
         assert float(r.residual_norm) < 1e-3 * np.linalg.norm(b)
     ok.append(check("preconditioned CG on chip", solver))
 
+    def solver_df64():
+        import jax
+        from sparsetpu import DF64
+        from sparsetpu.formats.random import laplace_2d
+        from sparsetpu.solvers.cg import cg_df64
+        L = laplace_2d(32)
+        A = SparseMatrix(L)                      # DOUBLE (df64) device
+        b = np.ones(L.nr_rows, np.float64)
+        r = jax.jit(lambda A, b: cg_df64(A.spmv, b, maxiter=600))(
+            A, DF64.from_f64(b))
+        resid = np.linalg.norm(
+            L.to_scipy().astype(np.float64) @ r.x.to_f64() - b)
+        assert resid < 1e-6 * np.linalg.norm(b), resid
+    ok.append(check("df64 CG under jit on chip", solver_df64))
+
+    def solver_gmres():
+        from sparsetpu.solvers.cg import gmres
+        from sparsetpu.formats.random import laplace_2d
+        L = laplace_2d(32)
+        L.values = L.values.astype(np.float32)
+        A = SparseMatrix(L, SpmvConfig(dtype=np.float32))
+        b = np.ones(L.nr_rows, np.float32)
+        r = gmres(A.spmv, b, restart=25, tol=1e-5, maxiter=400)
+        assert float(r.residual_norm) < 1e-3 * np.linalg.norm(b)
+    ok.append(check("restarted GMRES on chip", solver_gmres))
+
     print(f"{sum(ok)}/{len(ok)} passed", flush=True)
     return 0 if all(ok) else 1
 
