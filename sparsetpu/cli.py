@@ -53,7 +53,8 @@ def main(argv=None) -> int:
 
     dtype = np.float64 if args.double else np.float32
     # banner (main.cpp:18-25)
-    print(f"sparsetpu SpMV: partitions={args.partitions} vf={args.vf} "
+    print(f"sparsetpu SpMV: partitions={args.partitions} "
+          f"vf={args.vf or 'auto'} "
           f"precision={'double(emulated)' if args.double else 'single'} "
           f"backend={args.backend}")
 
