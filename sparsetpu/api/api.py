@@ -56,21 +56,45 @@ class SparseMatrix:
         self._backend = self._resolve_backend(backend)
         self._device: Optional[GStreamDevice] = None
         self._packed: Optional[GStreamMatrix] = None
+        self._parts = None       # CU row partitions (num_partitions > 1)
+        self._part_bounds = None
         if self._backend == "pallas" and self.config.is_double:
             # DOUBLE=1 (util.h:18-26): two-float emulated kernels
+            if self.config.num_partitions > 1:
+                raise ValueError(
+                    "num_partitions > 1 with dtype=float64 is not "
+                    "supported on one chip; shard over a mesh with "
+                    "sparsetpu.dist instead")
             from ..kernels.f64emu import DF64GStreamDevice
             self._device = DF64GStreamDevice(matrix, interpret=interpret)
             self._packed = self._device.meta
             self._source = matrix   # unpack of the hi plane would lose lo
         elif self._backend == "pallas":
-            self._packed = pack_gstream(matrix, self.config,
-                                        value_dtype=np.float32)
             vdt = None
             if self.config.is_bf16:
                 import jax.numpy as _jnp
                 vdt = _jnp.bfloat16
-            self._device = GStreamDevice(self._packed, interpret=interpret,
-                                         value_dtype=vdt)
+            if self.config.num_partitions > 1:
+                # CU parity (util.h:41-59): nnz-balanced contiguous row
+                # partitions, one packed stream + kernel pass each
+                # (csr_hw.cpp:459-468 S1 split, one routine not x6)
+                from ..pack.balance import balance_rows
+                part = balance_rows(matrix, self.config.num_partitions)
+                self._part_bounds = (part.row_start, part.row_end)
+                self._parts = []
+                for s, e in zip(part.row_start, part.row_end):
+                    pk = pack_gstream(matrix.row_slice(int(s), int(e)),
+                                      self.config, value_dtype=np.float32)
+                    self._parts.append(GStreamDevice(
+                        pk, interpret=interpret, value_dtype=vdt))
+                self._packed = self._parts[0].meta
+                self._source = matrix
+            else:
+                self._packed = pack_gstream(matrix, self.config,
+                                            value_dtype=np.float32)
+                self._device = GStreamDevice(self._packed,
+                                             interpret=interpret,
+                                             value_dtype=vdt)
         else:
             coo = matrix.to_coo()
             self._row_ind = jnp.asarray(coo.row_ind)
@@ -109,6 +133,10 @@ class SparseMatrix:
                         self._device.prepare_x(x), x_is_packed=True)
                     return DF64(yh, yl)
                 return self._device.spmv_f64(x)
+            if self._parts is not None:
+                # one kernel pass per CU row partition; y segments
+                # concatenate in row order (partitions are contiguous)
+                return jnp.concatenate([d.spmv(x) for d in self._parts])
             return self._device.spmv(x)
         x = jnp.asarray(x, dtype=self.dtype)
         return spmv_coo_xla(self._row_ind, self._col_ind, self._values, x,
@@ -161,11 +189,17 @@ class SparseMatrix:
         """Pre-pack x for repeated spmv calls (create_csr_hw_x_vector,
         csr_hw_wrapper.cpp:187-191)."""
         if self._backend == "pallas":
+            if self._parts is not None:
+                # partitions pad x independently: keep it unpacked
+                return jnp.asarray(x, dtype=jnp.float32)
             return self._device.prepare_x(x)
         return jnp.asarray(x, dtype=self.dtype)
 
     def spmv_packed_x(self, x_packed):
         if self._backend == "pallas":
+            if self._parts is not None:
+                return jnp.concatenate(
+                    [d.spmv(x_packed) for d in self._parts])
             y = self._device.spmv(x_packed, x_is_packed=True)
             if self.config.is_double:
                 from ..kernels.f64emu import join_f64
@@ -176,6 +210,11 @@ class SparseMatrix:
     def unpack(self) -> CSRMatrix:
         if getattr(self, "_source", None) is not None:
             return self._source
+        if self._parts is not None:
+            # (only reachable on a pytree-reconstructed handle: __init__
+            # keeps _source for partitioned packs)
+            raise ValueError("partitioned matrix lost its source CSR; "
+                             "unpack the original handle")
         if self._packed is None:
             raise ValueError("XLA-backend matrix: keep the original CSR")
         return unpack_gstream(self._packed)
@@ -195,31 +234,40 @@ class SparseMatrix:
 
     # reporting (main.cpp:84-88)
     def storage_overhead(self) -> float:
+        if self._parts is not None:
+            csr_bytes = (self.nr_nzeros * (4 + 4) + 4 * (self.nr_rows + 1))
+            return sum(d.meta.storage_bytes()
+                       for d in self._parts) / max(csr_bytes, 1)
         if self._packed is not None:
             return self._packed.storage_overhead()
         return 1.0
 
     def fill_factor(self) -> float:
+        if self._parts is not None:
+            return self.nr_nzeros / max(
+                sum(d.meta.n_slots for d in self._parts), 1)
         if self._packed is not None:
             return self._packed.fill_factor
         return 1.0
 
 
 def _sm_flatten(sm):
+    parts = tuple(sm._parts) if sm._parts is not None else None
     if sm._backend == "pallas":
-        children = (sm._device, None, None, None)
+        children = (sm._device, parts, None, None, None)
     else:
-        children = (None, sm._row_ind, sm._col_ind, sm._values)
+        children = (None, None, sm._row_ind, sm._col_ind, sm._values)
     aux = (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
-           sm._backend, sm._packed)
+           sm._backend, sm._packed, sm._part_bounds)
     return children, aux
 
 
 def _sm_unflatten(aux, children):
     sm = object.__new__(SparseMatrix)
     (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
-     sm._backend, sm._packed) = aux
-    sm._device, row_ind, col_ind, values = children
+     sm._backend, sm._packed, sm._part_bounds) = aux
+    sm._device, parts, row_ind, col_ind, values = children
+    sm._parts = list(parts) if parts is not None else None
     if sm._backend != "pallas":
         sm._row_ind, sm._col_ind, sm._values = row_ind, col_ind, values
     return sm

@@ -205,8 +205,12 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
     errors = verification(y_gold, y, diff_thres=atol, rel_thres=rtol)
 
     nnz = matrix.nr_nzeros
-    data_mb = (sm.packed.storage_bytes() / 1e6 if sm.packed is not None
-               else nnz * 8 / 1e6)
+    if sm._parts is not None:
+        data_mb = sum(d.meta.storage_bytes() for d in sm._parts) / 1e6
+    elif sm.packed is not None:
+        data_mb = sm.packed.storage_bytes() / 1e6
+    else:
+        data_mb = nnz * 8 / 1e6
     hbm = detect_hbm_gbps()
     floor_s = (data_mb * 1e6) / (hbm * 1e9)
     return BenchResult(

@@ -76,6 +76,17 @@ class CSRMatrix:
         np.add.at(d, (coo.row_ind, coo.col_ind), coo.values)
         return d
 
+    def row_slice(self, start: int, end: int) -> "CSRMatrix":
+        """Rows [start, end) as a CSR of shape (end-start, nr_cols) —
+        the sub-matrix handed to one compute unit by the balanced row
+        split (csr_hw.cpp:459-468)."""
+        lo = int(self.row_ptr[start])
+        hi = int(self.row_ptr[end])
+        return CSRMatrix(
+            (self.row_ptr[start:end + 1] - lo).astype(self.row_ptr.dtype),
+            self.col_ind[lo:hi], self.values[lo:hi],
+            end - start, self.nr_cols)
+
     def transpose(self) -> "CSRMatrix":
         """A^T as CSR (host-side index swap + re-sort)."""
         coo = self.to_coo()

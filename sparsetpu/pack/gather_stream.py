@@ -405,7 +405,8 @@ def _pack_block_v2_numpy(brows, bcols, bvals, nr_rows, value_dtype, q,
 
 
 def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
-                   q_candidates=(2, 4, 8)) -> Tuple[int, int]:
+                   q_candidates=(2, 4, 8),
+                   g_cap: int = MAX_G) -> Tuple[int, int]:
     """Pick the column-window group count G and the row-pad quantum Q
     jointly from the (row, window) nnz histogram: predicted time =
     slot count (including per-block tile padding to tiles_per_step
@@ -433,11 +434,14 @@ def _choose_layout(matrix: CSRMatrix, tiles_per_step: int = 128,
     urow, uw = uk // nb0, uk % nb0
     best, best_t = None, None
     for g in (1, 2, 4, 8, 16, 32):
+        if g > g_cap:
+            break                # block_cols cap (util.h:43-58 analogue)
         break_after = g >= need  # one window covers all cols: stop after
 
         if g < 4:
-            if g < need and need > 4:
+            if g < need and need > 4 and g < g_cap:
                 continue        # tiny windows only for tiny matrices
+                                # (unless block_cols forces them)
             nb = max(1, -(-matrix.nr_cols // (g * CHUNK * STRIPE)))
             key2 = rows_all * nb + (matrix.col_ind[:end_nnz].astype(
                 np.int64) // (g * CHUNK * STRIPE))
@@ -513,8 +517,18 @@ def pack_gstream(matrix: CSRMatrix, config: Optional[SpmvConfig] = None,
             tiles_per_step = 8
     if Q is None and config is not None and config.vf:
         Q = config.vf
+    # block_cols (COLS_DIV_BLOCKS analogue, util.h:43-58) caps the column
+    # window the kernel stages; windows are G*1024 cols, so the cap is in
+    # units of 1024 (sub-1024 settings round up to the tile minimum)
+    g_cap = MAX_G
+    if config is not None:
+        g_cap = max(1, min(MAX_G, config.block_cols // (CHUNK * STRIPE)))
+    if G is not None and G > g_cap:
+        raise ValueError(
+            f"G={G} exceeds block_cols={config.block_cols} "
+            f"(max {g_cap} window groups of {CHUNK * STRIPE} cols)")
     if G is None or Q is None:
-        g_m, q_m = _choose_layout(matrix, tiles_per_step)
+        g_m, q_m = _choose_layout(matrix, tiles_per_step, g_cap=g_cap)
         G = G if G is not None else g_m
         Q = Q if Q is not None else q_m
     if Q not in VALID_Q:

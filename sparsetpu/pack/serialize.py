@@ -16,8 +16,11 @@ from .gather_stream import GStreamMatrix
 
 
 def _meta_vec(p) -> np.ndarray:
+    # v3 meta vec: + ordered flag (r2 VERDICT weak #6 — dropping it made
+    # reloaded packs rebuild the slower legacy finish)
     return np.array([p.nr_rows, p.nr_cols, p.nr_nzeros, p.G,
-                     p.tiles_per_step, p.padded_cols, p.Q, p.GL],
+                     p.tiles_per_step, p.padded_cols, p.Q, p.GL,
+                     1 if p.ordered else 0],
                     dtype=np.int64)
 
 
@@ -30,12 +33,20 @@ def _meta_gl(meta) -> int:
     return int(meta[7]) if meta.shape[0] > 7 else 0
 
 
+def _meta_ordered(meta) -> bool:
+    # pre-v3 archives did not persist `ordered`; False is the safe value
+    # (the device then rebuilds the legacy finish, which is always valid)
+    return bool(meta[8]) if meta.shape[0] > 8 else False
+
+
 def save_gstream(path: str, p: GStreamMatrix) -> None:
     arrs = dict(values=p.values, cell_idx=p.cell_idx, route=p.route,
                 chunk_row=p.chunk_row, step_window=p.step_window,
                 meta=_meta_vec(p))
     if p.GL:
         arrs["tile_base"] = p.tile_base
+    if p.sections is not None:
+        arrs["sections"] = np.asarray(p.sections, dtype=np.int64)
     np.savez_compressed(path, **arrs)
 
 
@@ -48,7 +59,9 @@ def load_gstream(path: str) -> GStreamMatrix:
         nr_rows=int(meta[0]), nr_cols=int(meta[1]), nr_nzeros=int(meta[2]),
         G=int(meta[3]), tiles_per_step=int(meta[4]),
         padded_cols=int(meta[5]), Q=_meta_q(meta), GL=_meta_gl(meta),
-        tile_base=z["tile_base"] if "tile_base" in z else None)
+        tile_base=z["tile_base"] if "tile_base" in z else None,
+        sections=z["sections"] if "sections" in z else None,
+        ordered=_meta_ordered(meta))
 
 
 def save_device(path: str, device) -> None:
@@ -73,6 +86,8 @@ def save_device(path: str, device) -> None:
     }
     if device.meta.GL:
         arrs["tile_base"] = device.meta.tile_base
+    if device.meta.sections is not None:
+        arrs["sections"] = np.asarray(device.meta.sections, dtype=np.int64)
     for i, f in enumerate(device.finish):
         fp = f.meta
         arrs[f"f{i}_values"] = fp.values
@@ -210,7 +225,10 @@ def load_device(path: str, interpret: bool = False):
             padded_cols=int(mm[5]), Q=_meta_q(mm),
             GL=_meta_gl(mm) if not prefix else 0,
             tile_base=(z["tile_base"]
-                       if not prefix and "tile_base" in z else None))
+                       if not prefix and "tile_base" in z else None),
+            sections=(z["sections"]
+                      if not prefix and "sections" in z else None),
+            ordered=_meta_ordered(mm) if not prefix else False)
 
     d = object.__new__(GStreamDevice)
     d.meta = gs()

@@ -78,3 +78,24 @@ def test_gstream_serialize_roundtrip(tmp_path):
     p2 = load_gstream(f)
     m2 = unpack_gstream(p2)
     assert np.allclose(m.to_dense(), m2.to_dense())
+
+
+def test_gstream_serialize_keeps_finish_quality(tmp_path):
+    """r2 VERDICT weak #6: a reloaded pack must keep `sections`/`ordered`
+    so the rebuilt device picks the same (fast) final level as the
+    original, not a silent legacy-finish downgrade."""
+    from sparsetpu.kernels.spmv_pallas import GStreamDevice
+
+    m = random_csr(400, 3000, density=0.01, seed=7)
+    p = pack_gstream(m)
+    f = str(tmp_path / "packed.npz")
+    save_gstream(f, p)
+    p2 = load_gstream(f)
+    assert p2.ordered == p.ordered
+    assert (p2.sections is None) == (p.sections is None)
+    if p.sections is not None:
+        assert np.array_equal(np.asarray(p2.sections),
+                              np.asarray(p.sections))
+    d1 = GStreamDevice(p, interpret=True)
+    d2 = GStreamDevice(p2, interpret=True)
+    assert type(d2.final).__name__ == type(d1.final).__name__
