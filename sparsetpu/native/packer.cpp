@@ -37,6 +37,7 @@ struct Tile {
   int16_t route[kChunk][kLanes];
   int32_t chunk_row[kChunk][kLanes];  // [plane][lane]; planes = 8/q used
   int n_chunks = 0;
+  int lane_seed = -1;
   // v2 (per-tile dynamic window base): group range of accepted chunks
   int glo = 1 << 30;
   int ghi = -1;
@@ -273,10 +274,17 @@ struct PackV2State {
 
 void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
                     const int32_t* cols, const float* vals,
-                    const ChunkRef& c) {
+                    const ChunkRef& c, int lane_seed) {
   const int q = m.q;
   const int plane = pos / kLanes;
-  const int lane = pos % kLanes;
+  // lane_seed >= 0: per-tile lane permutation (odd stride 37 is a lane
+  // bijection).  Decorrelates a row's lanes ACROSS tiles — without it,
+  // rows get ~equal ranks in every column bucket, so a row's chunks all
+  // land at the same lane and the fused finish's per-residue capacity
+  // (8 cells) is blown by construction (same failure the classic path's
+  // _shuffle_chunk_lanes fixes for its F levels).
+  const int k = pos % kLanes;
+  const int lane = lane_seed < 0 ? k : ((k * 37 + lane_seed) & (kLanes - 1));
   const int sub0 = plane * q;
   bool slot_used[kChunk] = {false};
   for (int e = 0; e < c.len; ++e) {
@@ -313,7 +321,7 @@ void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
 long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
                        const float* vals, long long n, int32_t trap_row,
                        int q, int GL, int G, int max_open, int slab_rows,
-                       void** out_handle) {
+                       int lane_shuffle, void** out_handle) {
   if (q < 1 || q > kChunk || kChunk % q != 0) return -1;
   if (GL < 1 || GL > G || max_open < 1) return -1;
   const int planes = kChunk / q;
@@ -354,10 +362,13 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
   }
 
   // pass 2: counting-sort chunks by (row slab, min group) — stable, so
-  // positions stay row-major within each (slab, group)
+  // positions stay row-major within each (slab, group).  slab_rows < 0
+  // keeps pure row-major order (the fused layout: steps must cover
+  // contiguous row ranges so the in-kernel finish stays local).
   std::vector<size_t> order(chunks.size());
   {
     auto key_of = [&](const ChunkRef& c) -> size_t {
+      if (slab_rows < 0) return 0;
       size_t slab = slab_rows > 0
                         ? static_cast<size_t>(c.row / slab_rows)
                         : 0;
@@ -379,6 +390,7 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
   auto* st = new PackV2State();
   std::vector<Tile*> open;
   std::vector<ChunkRef*> pending;
+  long long tile_counter = 0;
   ChunkMatcher m;
   m.q = q;
   auto retire = [&](size_t keep) {
@@ -407,7 +419,8 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       const int nhi = c.ghi > t->ghi ? c.ghi : t->ghi;
       if (nhi - nlo >= GL) continue;
       if (m.match(t, t->n_chunks / kLanes)) {
-        place_chunk_v2(t, m, t->n_chunks, cols, vals, c);
+        place_chunk_v2(t, m, t->n_chunks, cols, vals, c,
+                       lane_shuffle ? (t->lane_seed) : -1);
         placed = true;
         break;
       }
@@ -415,8 +428,11 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
     if (!placed) {
       Tile* t = new Tile();
       t->init(trap_row);
+      t->lane_seed = static_cast<int>((tile_counter++) * 53 + 11) &
+                     (kLanes - 1);
       (void)m.match(t, 0);
-      place_chunk_v2(t, m, 0, cols, vals, c);
+      place_chunk_v2(t, m, 0, cols, vals, c,
+                     lane_shuffle ? (t->lane_seed) : -1);
       open.push_back(t);
     }
     retire(static_cast<size_t>(max_open));
@@ -458,6 +474,246 @@ void stpu_pack_copy_v2(void* handle, int q, float* values, int16_t* cells,
 
 void stpu_pack_v2_free(void* handle) {
   delete static_cast<PackV2State*>(handle);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused-layout finish builder (pack/fused.py fast path), two stages.
+//
+// Stage 1 collapses each out row's children (chunk sums at scratch
+// cells (sub, lane)) into one partial per <=8 children: gather tiles
+// over the step scratch, one chunk (= one row's children group) per
+// (tile, lane), slots matched by the same augmenting-path residue rule
+// as the forward pack.  Tile t1's per-lane slot sums land in
+// scratch2[t1, :].
+//
+// Stage 2 maps partials to the output block with ALIGNED tiles: tile k
+// covers out tiles [8g, 8g+8): position (s, l) IS out row
+// (8g+s)*128 + l, gathered from scratch2 at the partial's (t1, lane1).
+// The kernel then accumulates each stage-2 tile with ONE (8,128)
+// dynamic-offset add — per-element scatters never happen (measured:
+// 328 sub-tile RMWs/step ran 10x slower than the whole forward pass).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct F1Tile {
+  int32_t cell[kChunk][kLanes];   // -1 free; claims scratch sublanes
+  int16_t route[kChunk][kLanes];
+  uint8_t used[kChunk][kLanes];
+  int n_chunks = 0;
+  int lane_seed = 0;
+
+  F1Tile() {
+    std::memset(cell, 0xff, sizeof(cell));
+    std::memset(route, 0, sizeof(route));
+    std::memset(used, 0, sizeof(used));
+  }
+};
+
+struct F2Tile {
+  int32_t group;                  // out tiles [8*group, 8*group+8)
+  int32_t cell[kChunk][kLanes];   // -1 free; claims scratch2 sublanes
+  int16_t route[kChunk][kLanes];
+  uint8_t used[kChunk][kLanes];
+
+  explicit F2Tile(int32_t g) : group(g) {
+    std::memset(cell, 0xff, sizeof(cell));
+    std::memset(route, 0, sizeof(route));
+    std::memset(used, 0, sizeof(used));
+  }
+};
+
+struct FinMatcher {
+  int n_real;
+  int res[kChunk];
+  int32_t stripe[kChunk];
+  int slot_of[kChunk];
+  int elem_of[kChunk];
+  bool visited[kChunk];
+  const int32_t (*cells)[kLanes];
+
+  bool candidate(int e, int s) const {
+    int32_t c = cells[s][res[e]];
+    return c == -1 || c == stripe[e];
+  }
+  bool augment(int e) {
+    for (int s = 0; s < kChunk; ++s) {
+      if (!candidate(e, s) || visited[s]) continue;
+      visited[s] = true;
+      if (elem_of[s] < 0 || augment(elem_of[s])) {
+        elem_of[s] = e;
+        slot_of[e] = s;
+        return true;
+      }
+    }
+    return false;
+  }
+  bool match(const int32_t (*c)[kLanes]) {
+    cells = c;
+    for (int i = 0; i < kChunk; ++i) {
+      slot_of[i] = -1;
+      elem_of[i] = -1;
+    }
+    for (int e = 0; e < n_real; ++e) {
+      for (int s = 0; s < kChunk; ++s) visited[s] = false;
+      if (!augment(e)) return false;
+    }
+    return true;
+  }
+};
+
+struct FinState {
+  std::vector<F1Tile*> t1;
+  std::vector<F2Tile*> t2;
+  ~FinState() {
+    for (F1Tile* t : t1) delete t;
+    for (F2Tile* t : t2) delete t;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Children must arrive sorted by orow.  max_f1 bounds the stage-1 tile
+// count (the kernel's scratch2 height).  Returns
+// (n_t1 << 32) | n_t2, or -1 if stage 1 overflows max_f1.
+long long stpu_fused_finish(const int32_t* orow, const int32_t* sub,
+                            const int32_t* lane, long long n, int max_f1,
+                            void** out_handle) {
+  auto* st = new FinState();
+  FinMatcher m;
+  long long i = 0;
+  // ---- stage 1: per-row chunks into gather tiles
+  // partial list: (orow, t1, lane1) per chunk
+  std::vector<int32_t> p_row, p_t1, p_lane;
+  while (i < n) {
+    const int32_t r = orow[i];
+    m.n_real = 0;
+    while (i < n && orow[i] == r && m.n_real < kChunk) {
+      m.res[m.n_real] = static_cast<int>(lane[i]);
+      m.stripe[m.n_real] = sub[i];
+      ++m.n_real;
+      ++i;
+    }
+    F1Tile* dst = nullptr;
+    for (F1Tile* t : st->t1) {
+      if (t->n_chunks >= kLanes) continue;
+      if (m.match(t->cell)) {
+        dst = t;
+        break;
+      }
+    }
+    if (!dst) {
+      if (static_cast<int>(st->t1.size()) >= max_f1) {
+        delete st;
+        return -1;
+      }
+      dst = new F1Tile();
+      dst->lane_seed =
+          static_cast<int>(st->t1.size() * 53 + 29) & (kLanes - 1);
+      st->t1.push_back(dst);
+      (void)m.match(dst->cell);
+    }
+    const int k = dst->n_chunks++;
+    const int l = (k * 37 + dst->lane_seed) & (kLanes - 1);
+    for (int e = 0; e < m.n_real; ++e) {
+      const int s = m.slot_of[e];
+      dst->cell[s][m.res[e]] = m.stripe[e];
+      dst->route[s][l] = static_cast<int16_t>(m.res[e]);
+      dst->used[s][l] = 1;
+    }
+    int32_t t1_idx = 0;
+    for (size_t k2 = 0; k2 < st->t1.size(); ++k2)
+      if (st->t1[k2] == dst) t1_idx = static_cast<int32_t>(k2);
+    p_row.push_back(r);
+    p_t1.push_back(t1_idx);
+    p_lane.push_back(l);
+  }
+  // ---- stage 2: aligned-group tiles over scratch2
+  // partials are in orow order (stage 1 preserved it)
+  for (size_t k = 0; k < p_row.size(); ++k) {
+    const int32_t r = p_row[k];
+    const int32_t g = r / (kChunk * kLanes);
+    const int s = static_cast<int>((r / kLanes) % kChunk);
+    const int l = static_cast<int>(r % kLanes);
+    const int res = static_cast<int>(p_lane[k]);
+    const int32_t stripe = p_t1[k];
+    F2Tile* dst = nullptr;
+    for (F2Tile* t : st->t2) {
+      if (t->group != g || t->used[s][l]) continue;
+      int32_t c = t->cell[s][res];
+      if (c != -1 && c != stripe) continue;
+      dst = t;
+      break;
+    }
+    if (!dst) {
+      dst = new F2Tile(g);
+      st->t2.push_back(dst);
+    }
+    dst->cell[s][res] = stripe;
+    dst->route[s][l] = static_cast<int16_t>(res);
+    dst->used[s][l] = 1;
+  }
+  *out_handle = st;
+  return (static_cast<long long>(st->t1.size()) << 32) |
+         static_cast<long long>(st->t2.size());
+}
+
+// cells drains: stage 1 -> scr_rows (the step scratch height); stage 2
+// -> f1_drain (the scratch2 height).
+void stpu_fused_finish_copy(void* handle, int scr_rows, int f1_drain,
+                            int16_t* cells1, int8_t* route1,
+                            int32_t* group2, int16_t* cells2,
+                            int8_t* route2) {
+  auto* st = static_cast<FinState*>(handle);
+  size_t ti = 0;
+  for (F1Tile* t : st->t1) {
+    int16_t* ce = cells1 + ti * kChunk * kLanes;
+    int8_t* ro = route1 + ti * kChunk * kLanes;
+    for (int s = 0; s < kChunk; ++s) {
+      int free_r = 0;
+      while (free_r < kLanes - 1 && t->cell[s][free_r] != -1) ++free_r;
+      for (int r = 0; r < kLanes; ++r) {
+        const int32_t c = t->cell[s][r];
+        ce[s * kLanes + r] =
+            c < 0 ? static_cast<int16_t>(scr_rows)
+                  : static_cast<int16_t>(c);
+      }
+      for (int l = 0; l < kLanes; ++l)
+        ro[s * kLanes + l] = t->used[s][l]
+                                 ? static_cast<int8_t>(t->route[s][l])
+                                 : static_cast<int8_t>(free_r);
+    }
+    ++ti;
+  }
+  ti = 0;
+  for (F2Tile* t : st->t2) {
+    group2[ti] = t->group;
+    int16_t* ce = cells2 + ti * kChunk * kLanes;
+    int8_t* ro = route2 + ti * kChunk * kLanes;
+    for (int s = 0; s < kChunk; ++s) {
+      int free_r = 0;
+      while (free_r < kLanes - 1 && t->cell[s][free_r] != -1) ++free_r;
+      for (int r = 0; r < kLanes; ++r) {
+        const int32_t c = t->cell[s][r];
+        ce[s * kLanes + r] =
+            c < 0 ? static_cast<int16_t>(f1_drain)
+                  : static_cast<int16_t>(c);
+      }
+      for (int l = 0; l < kLanes; ++l)
+        ro[s * kLanes + l] = t->used[s][l]
+                                 ? static_cast<int8_t>(t->route[s][l])
+                                 : static_cast<int8_t>(free_r);
+    }
+    ++ti;
+  }
+}
+
+void stpu_fused_finish_free(void* handle) {
+  delete static_cast<FinState*>(handle);
 }
 
 }  // extern "C"

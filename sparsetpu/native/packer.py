@@ -32,7 +32,8 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.stpu_pack_copy_v2.restype = None
     lib.stpu_pack_copy_v2.argtypes = [
@@ -42,12 +43,67 @@ def _bind(lib):
     ]
     lib.stpu_pack_v2_free.restype = None
     lib.stpu_pack_v2_free.argtypes = [ctypes.c_void_p]
+    lib.stpu_fused_finish.restype = ctypes.c_longlong
+    lib.stpu_fused_finish.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.stpu_fused_finish_copy.restype = None
+    lib.stpu_fused_finish_copy.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    lib.stpu_fused_finish_free.restype = None
+    lib.stpu_fused_finish_free.argtypes = [ctypes.c_void_p]
     lib._pack_bound = True
     return lib
 
 
+def fused_finish_native(orow, sub, lane, scr_rows: int,
+                        max_f1: int = 32, f1_drain: int = 32):
+    """Two-stage finish build for the fused layout (see packer.cpp).
+    Children must be sorted by orow.  Returns (cells1 (n1*8, 128) i16,
+    route1 i8, group2 (n2,) i32, cells2 (n2*8, 128) i16, route2 i8) or
+    None when stage 1 overflows ``max_f1`` tiles."""
+    lib = _bind(_lib())
+    orow = np.ascontiguousarray(orow, dtype=np.int32)
+    sub = np.ascontiguousarray(sub, dtype=np.int32)
+    lane = np.ascontiguousarray(lane, dtype=np.int32)
+    handle = ctypes.c_void_p()
+    packed = lib.stpu_fused_finish(
+        orow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_longlong(orow.shape[0]), ctypes.c_int(max_f1),
+        ctypes.byref(handle))
+    if packed < 0:
+        return None
+    n1 = int(packed >> 32)
+    n2 = int(packed & 0xFFFFFFFF)
+    cells1 = np.empty((n1 * 8, 128), dtype=np.int16)
+    route1 = np.empty((n1 * 8, 128), dtype=np.int8)
+    group2 = np.empty(n2, dtype=np.int32)
+    cells2 = np.empty((n2 * 8, 128), dtype=np.int16)
+    route2 = np.empty((n2 * 8, 128), dtype=np.int8)
+    try:
+        lib.stpu_fused_finish_copy(
+            handle, ctypes.c_int(scr_rows), ctypes.c_int(f1_drain),
+            cells1.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            route1.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            group2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cells2.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            route2.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    finally:
+        lib.stpu_fused_finish_free(handle)
+    return cells1, route1, group2, cells2, route2
+
+
 def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
-                   G: int, max_open: int = 0, slab_rows: int = 0):
+                   G: int, max_open: int = 0, slab_rows: int = 0,
+                   lane_shuffle: bool = False):
     """v2 pack of one column block from raw row-sorted triplets; returns
     (values, cells[relative], route, chunk_row, tile_base)."""
     lib = _bind(_lib())
@@ -64,6 +120,7 @@ def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
         ctypes.c_longlong(rows.shape[0]), ctypes.c_int32(trap_row),
         ctypes.c_int(q), ctypes.c_int(GL), ctypes.c_int(G),
         ctypes.c_int(max_open), ctypes.c_int(slab_rows),
+        ctypes.c_int(1 if lane_shuffle else 0),
         ctypes.byref(handle))
     if n_tiles < 0:
         raise RuntimeError("stpu_pack_v2 failed")
