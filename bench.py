@@ -87,7 +87,10 @@ def main():
         "roofline_frac": round(floor_s / per_call, 3) if gnnz else 0.0,
         "fill": round(sm.fill_factor(), 3),
         "layout": {"G": sm.packed.G, "Q": sm.packed.Q,
-                   "final": type(sm._device.final).__name__},
+                   "final": ("fused-instep"
+                             if getattr(sm._device, "final",
+                                        None) is None
+                             else type(sm._device.final).__name__)},
     }))
 
 

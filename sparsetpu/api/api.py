@@ -90,11 +90,32 @@ class SparseMatrix:
                 self._packed = self._parts[0].meta
                 self._source = matrix
             else:
-                self._packed = pack_gstream(matrix, self.config,
-                                            value_dtype=np.float32)
-                self._device = GStreamDevice(self._packed,
-                                             interpret=interpret,
-                                             value_dtype=vdt)
+                # fused resident-x layout first (pack/fused.py): whole
+                # SpMV in one kernel pass when x fits VMEM; falls back
+                # to the classic windowed GStream path
+                fp = None
+                if vdt is None and backend in ("auto", "pallas",
+                                               "fused") and \
+                        self.config.vf in (0, 4, 8) and \
+                        self.config.block_cols >= 16 * 1024:
+                    from ..pack.fused import pack_fused
+                    fp = pack_fused(matrix,
+                                    Q=self.config.vf or 8)
+                if fp is not None:
+                    from ..kernels.spmv_fused import FusedDevice
+                    self._packed = fp
+                    self._device = FusedDevice(fp, interpret=interpret)
+                    self._source = matrix
+                elif backend == "fused":
+                    raise ValueError(
+                        "fused layout not applicable to this matrix "
+                        "(nr_cols too large or pathological structure)")
+                else:
+                    self._packed = pack_gstream(matrix, self.config,
+                                                value_dtype=np.float32)
+                    self._device = GStreamDevice(self._packed,
+                                                 interpret=interpret,
+                                                 value_dtype=vdt)
         else:
             coo = matrix.to_coo()
             self._row_ind = jnp.asarray(coo.row_ind)
@@ -103,6 +124,8 @@ class SparseMatrix:
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:
+        if backend == "fused":          # fused is a pallas sub-mode
+            return "pallas"
         if backend != "auto":
             return backend
         return "pallas"
@@ -152,7 +175,7 @@ class SparseMatrix:
                 from ..kernels.f64emu import spmm_df64
                 return spmm_df64(self._device, x)
             from ..kernels.spmm import spmm_gstream
-            return spmm_gstream(self._device, jnp.asarray(x))
+            return spmm_gstream(self._classic_device(), jnp.asarray(x))
         x = jnp.asarray(x)
         return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
@@ -164,8 +187,7 @@ class SparseMatrix:
             other = x.unpack() if isinstance(x, SparseMatrix) else x
             if self._packed is None:
                 raise ValueError("SpGEMM needs the pallas backend")
-            from ..pack.gather_stream import unpack_gstream
-            return spgemm(unpack_gstream(self._packed), other)
+            return spgemm(self.unpack(), other)
         if self.config.is_double:
             # keep full input precision on the DOUBLE path: jnp.asarray
             # would truncate float64 x to f32 before the (hi, lo) split
@@ -184,6 +206,20 @@ class SparseMatrix:
         if x.ndim == 2:
             return self.spmm(x)
         raise ValueError("operand must be a vector or matrix")
+
+    def _classic_device(self):
+        """The windowed GStream device (built lazily when the resident
+        fused device is active but an op needs the classic kernels —
+        SpMM's multi-RHS stream only exists there)."""
+        from ..kernels.spmv_fused import FusedDevice
+        if not isinstance(self._device, FusedDevice):
+            return self._device
+        if getattr(self, "_classic", None) is None:
+            pk = pack_gstream(self._source, self.config,
+                              value_dtype=np.float32)
+            self._classic = GStreamDevice(
+                pk, interpret=self._device.interpret)
+        return self._classic
 
     def prepare_x(self, x) -> jax.Array:
         """Pre-pack x for repeated spmv calls (create_csr_hw_x_vector,

@@ -99,4 +99,7 @@ def autotune_pack(matrix, candidates: Optional[Sequence] = None,
     sm._backend = "pallas"
     sm._packed = packed
     sm._device = dev
+    sm._parts = None
+    sm._part_bounds = None
+    sm._source = matrix
     return sm

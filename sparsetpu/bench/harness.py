@@ -175,7 +175,13 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         total_s = measure(lambda op, xi: op.spmv_packed_x(xi), sm, xp)
 
     kernel_s = finish_s = float("nan")
-    if backend == "pallas" and not is_double and sm._device is not None:
+    from ..kernels.spmv_pallas import GStreamDevice as _GSD
+    if backend == "pallas" and not is_double and sm._device is not None \
+            and not isinstance(sm._device, _GSD):
+        # fused layout: forward + finish run in ONE kernel — the whole
+        # spmv IS the kernel time (no separate accumulation phase)
+        kernel_s, finish_s = total_s, 0.0
+    elif backend == "pallas" and not is_double and sm._device is not None:
         from ..kernels.spmv_pallas import _gstream_chunk_sums
 
         def kernel_only(op, xi):

@@ -562,6 +562,23 @@ struct FinMatcher {
     }
     return true;
   }
+
+  // place as many elements as possible; returns the matched count (the
+  // matched prefix keeps slot_of valid for elements [0, count))
+  int match_partial(const int32_t (*c)[kLanes]) {
+    cells = c;
+    for (int i = 0; i < kChunk; ++i) {
+      slot_of[i] = -1;
+      elem_of[i] = -1;
+    }
+    int got = 0;
+    for (int e = 0; e < n_real; ++e) {
+      for (int s = 0; s < kChunk; ++s) visited[s] = false;
+      if (!augment(e)) break;
+      ++got;
+    }
+    return got;
+  }
 };
 
 struct FinState {

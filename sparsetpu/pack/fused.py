@@ -83,6 +83,11 @@ class FusedMatrix:
     n_slabs: int
 
     @property
+    def G(self) -> int:
+        """Window groups per tile (classic-layout naming compat)."""
+        return self.GLW
+
+    @property
     def planes(self) -> int:
         return CHUNK // self.Q
 
@@ -409,7 +414,7 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows):
 def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
                T: Optional[int] = None, value_dtype=np.float32,
                use_native: bool = True, slack: float = 0.93,
-               slab_steps: int = 8) -> Optional[FusedMatrix]:
+               slab_steps: int = 12) -> Optional[FusedMatrix]:
     """Pack a CSR matrix into the fused resident-x layout.  Returns None
     when the layout does not apply (x too large for VMEM, pathological
     finish, heavy rows) — callers fall back to the classic GStream path.

@@ -64,18 +64,44 @@ def load_gstream(path: str) -> GStreamMatrix:
         ordered=_meta_ordered(meta))
 
 
+_FUSED_SCALARS = ("nr_rows", "nr_cols", "nr_nzeros", "Q", "GLW", "T",
+                  "GX", "OBp", "F1_max", "F2_max", "F1S", "n_slabs")
+_FUSED_ARRAYS = ("values", "meta16", "tile_base", "fin1_meta16",
+                 "fin2_meta16", "fin2_group", "fin1_cnt", "fin2_cnt",
+                 "step_slab", "step_first", "slab_bounds", "spill_row",
+                 "spill_col", "spill_val")
+
+
+def save_fused(path: str, p) -> None:
+    """Checkpoint a FusedMatrix (the fused resident-x repack artifact)."""
+    arrs = {k: getattr(p, k) for k in _FUSED_ARRAYS}
+    arrs["fused_meta"] = np.array([getattr(p, k) for k in _FUSED_SCALARS],
+                                  dtype=np.int64)
+    np.savez_compressed(path, **arrs)
+
+
+def load_fused(path: str):
+    from .fused import FusedMatrix
+    z = np.load(path)
+    scalars = {k: int(v) for k, v in zip(_FUSED_SCALARS, z["fused_meta"])}
+    return FusedMatrix(**{k: z[k] for k in _FUSED_ARRAYS}, **scalars)
+
+
 def save_device(path: str, device) -> None:
-    """Checkpoint a GStreamDevice or DF64GStreamDevice including its
-    finish (F levels + final), so a resume pays neither the repack nor
-    the reduction build."""
+    """Checkpoint a GStreamDevice, FusedDevice or DF64GStreamDevice
+    including its finish, so a resume pays neither the repack nor the
+    reduction build."""
     from ..kernels.f64emu import DF64GStreamDevice
     if isinstance(device, DF64GStreamDevice):
         return _save_df64_device(path, device)
+    from ..kernels.spmv_fused import FusedDevice
+    if isinstance(device, FusedDevice):
+        return save_fused(path, device.meta)
     from ..kernels.spmv_pallas import GStreamDevice
     if not isinstance(device, GStreamDevice):
         raise TypeError(
-            f"save_device supports GStreamDevice / DF64GStreamDevice, "
-            f"got {type(device).__name__}")
+            f"save_device supports GStreamDevice / FusedDevice / "
+            f"DF64GStreamDevice, got {type(device).__name__}")
     arrs = {
         "values": np.asarray(device.values),
         "meta16": np.asarray(device.meta16),
@@ -203,6 +229,9 @@ def load_device(path: str, interpret: bool = False):
                                        _FinalLevelV2, _FLevel)
 
     z = np.load(path)
+    if "fused_meta" in z:
+        from ..kernels.spmv_fused import FusedDevice
+        return FusedDevice(load_fused(path), interpret=interpret)
     if "df64" in z:
         return _load_df64_device(z, interpret)
     meta = z["meta"]

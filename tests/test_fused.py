@@ -1,0 +1,109 @@
+"""Fused resident-x layout (pack/fused.py + kernels/spmv_fused.py).
+
+The round-3 path: whole SpMV in one kernel pass for matrices whose x
+fits VMEM.  Tests run both the native (C++) and NumPy pack engines in
+interpret mode against the CPU gold (SURVEY.md section 4 mechanism 1).
+"""
+
+import numpy as np
+import pytest
+
+from sparsetpu.api.api import SparseMatrix
+from sparsetpu.formats.gold import spmv_gold
+from sparsetpu.formats.random import random_csr
+from sparsetpu.kernels.spmv_fused import FusedDevice
+from sparsetpu.pack.fused import pack_fused
+from sparsetpu.utils.config import SpmvConfig
+
+SHAPES = [(500, 3000, 0.01, 0), (2000, 20000, 0.002, 1),
+          (300, 900, 0.05, 2), (1000, 50000, 0.001, 4),
+          (4000, 4000, 0.004, 5)]
+
+
+def _check(m, p):
+    dev = FusedDevice(p, interpret=True)
+    x = np.random.default_rng(9).standard_normal(m.nr_cols)
+    y = np.asarray(dev.spmv(x))
+    g = spmv_gold(m, x)
+    err = np.abs(y - g).max() / max(np.abs(g).max(), 1)
+    assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("nr,nc,d,seed", SHAPES)
+def test_fused_native_matches_gold(nr, nc, d, seed):
+    m = random_csr(nr, nc, density=d, seed=seed)
+    p = pack_fused(m)
+    assert p is not None
+    _check(m, p)
+
+
+@pytest.mark.parametrize("nr,nc,d,seed", SHAPES[:3])
+def test_fused_numpy_fallback_matches_gold(nr, nc, d, seed):
+    m = random_csr(nr, nc, density=d, seed=seed)
+    p = pack_fused(m, use_native=False)
+    assert p is not None
+    _check(m, p)
+
+
+def test_fused_q4():
+    m = random_csr(800, 5000, density=0.01, seed=7)
+    p = pack_fused(m, Q=4)
+    assert p is not None and p.Q == 4 and p.planes == 2
+    _check(m, p)
+
+
+def test_fused_no_native_spills():
+    m = random_csr(2000, 20000, density=0.002, seed=1)
+    p = pack_fused(m)
+    assert p.spill_row.size == 0  # augmenting matching never spills
+
+
+def test_fused_oversized_cols_falls_back():
+    from sparsetpu.pack.fused import MAX_RESIDENT_COLS
+    m = random_csr(10, MAX_RESIDENT_COLS + 1024, density=1e-5, seed=0)
+    assert pack_fused(m) is None
+
+
+def test_api_auto_selects_fused():
+    m = random_csr(600, 4000, density=0.01, seed=3)
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    assert isinstance(sm._device, FusedDevice)
+    x = np.random.default_rng(0).standard_normal(m.nr_cols)
+    np.testing.assert_allclose(np.asarray(sm.spmv(x)), spmv_gold(m, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_api_fused_spmm_falls_back_to_classic():
+    m = random_csr(400, 3000, density=0.01, seed=3)
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    X = np.random.default_rng(0).standard_normal((m.nr_cols, 3))
+    Y = np.asarray(sm.spmm(X))
+    G = np.stack([spmv_gold(m, X[:, k]) for k in range(3)], axis=1)
+    np.testing.assert_allclose(Y, G, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_device_serialize_roundtrip(tmp_path):
+    from sparsetpu.pack.serialize import load_device, save_device
+    m = random_csr(500, 3000, density=0.01, seed=0)
+    dev = FusedDevice(pack_fused(m), interpret=True)
+    f = str(tmp_path / "fused.npz")
+    save_device(f, dev)
+    dev2 = load_device(f, interpret=True)
+    assert isinstance(dev2, FusedDevice)
+    x = np.random.default_rng(1).standard_normal(m.nr_cols)
+    np.testing.assert_allclose(np.asarray(dev2.spmv(x)),
+                               np.asarray(dev.spmv(x)), rtol=1e-6)
+
+
+def test_fused_through_jit_as_pytree():
+    import jax
+    m = random_csr(400, 2000, density=0.01, seed=2)
+    dev = FusedDevice(pack_fused(m), interpret=True)
+    x = np.random.default_rng(3).standard_normal(m.nr_cols)
+
+    @jax.jit
+    def f(d, xi):
+        return d.spmv(xi)
+
+    y = np.asarray(f(dev, x))
+    np.testing.assert_allclose(y, spmv_gold(m, x), rtol=1e-4, atol=1e-4)

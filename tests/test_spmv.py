@@ -77,13 +77,16 @@ def test_finish_final_level_active():
     from sparsetpu.formats import random_csr, spmv_gold, verification
     m = random_csr(1500, 1500, density=0.03, seed=60,
                    dtype=np.float32)  # ~45 nnz/row
-    sm = SparseMatrix(m, backend="pallas", interpret=True)
-    dev = sm._device
+    # classic windowed path explicitly (the auto path picks the fused
+    # layout, which has no separate final level)
+    from sparsetpu.kernels.spmv_pallas import GStreamDevice
+    from sparsetpu.pack.gather_stream import pack_gstream
+    dev = GStreamDevice(pack_gstream(m), interpret=True)
     assert dev.final is not None, "expected the final reduction level"
     assert not dev.finish, "no heavy rows -> no F levels expected"
     assert dev.final.n_spills <= m.nr_nzeros // 100
     x = np.random.default_rng(3).standard_normal(m.nr_cols)
-    y = np.asarray(sm.spmv(x))
+    y = np.asarray(dev.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
 
