@@ -465,6 +465,18 @@ def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
             trap, q=Q, GL=GLW, G=GX, max_open=256, slab_rows=sub_rows,
             lane_shuffle=True)
         nt = tb.shape[0]
+        # tiles retire when FULL, i.e. out of row order (a wide first-fit
+        # window raises fill but lets tiles linger across sub-slabs);
+        # re-sorting by min member row re-tightens each step's row range,
+        # which is what keeps the per-step finish small
+        tmin = np.where(crow == trap, np.iinfo(np.int32).max,
+                        crow).reshape(nt, P * LANES).min(axis=1)
+        order_t = np.argsort(tmin, kind="stable")
+        v = v.reshape(nt, CHUNK, LANES)[order_t].reshape(-1, LANES)
+        c16 = c16.reshape(nt, CHUNK, LANES)[order_t].reshape(-1, LANES)
+        r8 = r8.reshape(nt, CHUNK, LANES)[order_t].reshape(-1, LANES)
+        crow = crow.reshape(nt, P, LANES)[order_t].reshape(-1, LANES)
+        tb = tb[order_t]
         n_steps_s = -(-nt // T)
         ntp = n_steps_s * T
         meta = ((c16.astype(np.int32) << 7)
