@@ -99,8 +99,16 @@ class SparseMatrix:
                         self.config.vf in (0, 4, 8) and \
                         self.config.block_cols >= 16 * 1024:
                     from ..pack.fused import pack_fused
-                    fp = pack_fused(matrix,
-                                    Q=self.config.vf or 8)
+                    # heavy rows blow the fused in-step finish (its
+                    # instance count is bounded per step); the classic
+                    # path's F pre-reduction levels handle them
+                    row_nnz_max = int(matrix.row_nnz().max()) \
+                        if matrix.nr_rows else 0
+                    if row_nnz_max <= 4096:
+                        fp = pack_fused(matrix,
+                                        Q=self.config.vf or None)
+                    if fp is not None and fp.fill_factor < 0.08:
+                        fp = None        # pathological pack: classic
                 if fp is not None:
                     from ..kernels.spmv_fused import FusedDevice
                     self._packed = fp

@@ -54,7 +54,7 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
                   sfirst_ref, xw_ref, val_ref, meta_ref, f1meta_ref,
                   f2meta_ref, out_ref, scratch_ref, scratch2_ref, *,
                   T: int, GLW: int, P: int, F1_max: int, F2_max: int,
-                  F1S: int, OBp: int):
+                  F1S: int, OBp: int, fin_direct: int = 0):
     i = pl.program_id(0)
     Q = CHUNK // P
 
@@ -86,7 +86,7 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
     # tile's unconditional work is ~10 ns and adds exact zeros)
     SR = T * P                    # scratch rows; SR == drain cell value
     SG = SR // CHUNK
-    for f in range(F1_max):
+    for f in range(0 if fin_direct else F1_max):
         sl = slice(f * CHUNK, (f + 1) * CHUNK)
         i1, j = _split16(f1meta_ref, sl)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
@@ -106,17 +106,21 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
     @pl.when(sfirst_ref[i] == 1)
     def _():
         out_ref[...] = jnp.zeros((OBp, LANES), dtype=out_ref.dtype)
-    S2G = F1S // CHUNK
+    # stage-2 source: the row partials in scratch2, or (when stage 1 is
+    # skipped — the scattered regime) the chunk sums in scratch directly
+    s2_src, s2_rows = ((scratch_ref, SR) if fin_direct
+                       else (scratch2_ref, F1S))
+    S2G = s2_rows // CHUNK
     for f in range(F2_max):
         sl = slice(f * CHUNK, (f + 1) * CHUNK)
         i1, j = _split16(f2meta_ref, sl)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
         grp = jnp.right_shift(i1, 3)
         parts = [jnp.take_along_axis(
-            scratch2_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+            s2_src[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
             for g in range(S2G)]
         g1 = parts[0] if S2G == 1 else _tree_merge(parts, grp)
-        g1 = jnp.where(i1 >= F1S, jnp.float32(0), g1)
+        g1 = jnp.where(i1 >= s2_rows, jnp.float32(0), g1)
         g2 = jnp.take_along_axis(g1, j, axis=1)
         g = f2grp_ref[i, f]
         out_ref[pl.ds(g * CHUNK, CHUNK), :] = (
@@ -126,12 +130,13 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
 @functools.partial(jax.jit, static_argnames=("T", "GLW", "P", "F1_max",
                                              "F2_max", "F1S", "OBp",
                                              "n_steps", "n_slabs",
-                                             "interpret"))
+                                             "fin_direct", "interpret"))
 def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                        step_slab, step_first, x2, values, meta16,
                        fin1_meta16, fin2_meta16, *, T: int, GLW: int,
                        P: int, F1_max: int, F2_max: int, F1S: int,
                        OBp: int, n_steps: int, n_slabs: int,
+                       fin_direct: int = 0,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
     gx8 = x2.shape[0]
@@ -158,7 +163,7 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
     )
     kernel = functools.partial(_fused_kernel, T=T, GLW=GLW, P=P,
                                F1_max=F1_max, F2_max=F2_max, F1S=F1S,
-                               OBp=OBp)
+                               OBp=OBp, fin_direct=fin_direct)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slabs * OBp, LANES),
@@ -215,6 +220,7 @@ class FusedDevice:
             T=m.T, GLW=m.GLW, P=m.planes, F1_max=m.F1_max,
             F2_max=m.F2_max, F1S=m.F1S, OBp=m.OBp,
             n_steps=m.n_steps, n_slabs=m.n_slabs,
+            fin_direct=m.fin_direct,
             interpret=self.interpret)
         # per-slab contiguous slices (NOT an element gather: a 200k
         # jnp.take costs ~1.7 ms on TPU — measured — vs ~free DMA slices)

@@ -38,6 +38,7 @@ struct Tile {
   int32_t chunk_row[kChunk][kLanes];  // [plane][lane]; planes = 8/q used
   int n_chunks = 0;
   int lane_seed = -1;
+  int plane_cnt[kChunk] = {0};  // v2 small-q: chunks per plane
   // v2 (per-tile dynamic window base): group range of accepted chunks
   int glo = 1 << 30;
   int ghi = -1;
@@ -47,6 +48,7 @@ struct Tile {
     std::memset(vals, 0, sizeof(vals));
     std::memset(cells16, 0, sizeof(cells16));
     std::memset(route, 0, sizeof(route));
+    std::memset(plane_cnt, 0, sizeof(plane_cnt));
     for (int p = 0; p < kChunk; ++p)
       for (int l = 0; l < kLanes; ++l) chunk_row[p][l] = trap_row;
     n_chunks = 0;
@@ -272,18 +274,16 @@ struct PackV2State {
   }
 };
 
-void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
+void place_chunk_v2(Tile* t, const ChunkMatcher& m, int plane, int k,
                     const int32_t* cols, const float* vals,
                     const ChunkRef& c, int lane_seed) {
   const int q = m.q;
-  const int plane = pos / kLanes;
   // lane_seed >= 0: per-tile lane permutation (odd stride 37 is a lane
   // bijection).  Decorrelates a row's lanes ACROSS tiles — without it,
   // rows get ~equal ranks in every column bucket, so a row's chunks all
   // land at the same lane and the fused finish's per-residue capacity
   // (8 cells) is blown by construction (same failure the classic path's
   // _shuffle_chunk_lanes fixes for its F levels).
-  const int k = pos % kLanes;
   const int lane = lane_seed < 0 ? k : ((k * 37 + lane_seed) & (kLanes - 1));
   const int sub0 = plane * q;
   bool slot_used[kChunk] = {false};
@@ -307,7 +307,7 @@ void place_chunk_v2(Tile* t, const ChunkMatcher& m, int pos,
   t->chunk_row[plane][lane] = c.row;
   if (c.glo < t->glo) t->glo = c.glo;
   if (c.ghi > t->ghi) t->ghi = c.ghi;
-  t->n_chunks++;
+  // n_chunks is owned by the caller (it also tracks plane cursors)
 }
 
 }  // namespace
@@ -418,12 +418,16 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       const int nlo = c.glo < t->glo ? c.glo : t->glo;
       const int nhi = c.ghi > t->ghi ? c.ghi : t->ghi;
       if (nhi - nlo >= GL) continue;
-      if (m.match(t, t->n_chunks / kLanes)) {
-        place_chunk_v2(t, m, t->n_chunks, cols, vals, c,
-                       lane_shuffle ? (t->lane_seed) : -1);
-        placed = true;
-        break;
+      for (int p = 0; p < planes && !placed; ++p) {
+        if (t->plane_cnt[p] >= kLanes) continue;
+        if (m.match(t, p)) {
+          place_chunk_v2(t, m, p, t->plane_cnt[p]++, cols, vals, c,
+                         lane_shuffle ? (t->lane_seed) : -1);
+          t->n_chunks++;
+          placed = true;
+        }
       }
+      if (placed) break;
     }
     if (!placed) {
       Tile* t = new Tile();
@@ -431,8 +435,9 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       t->lane_seed = static_cast<int>((tile_counter++) * 53 + 11) &
                      (kLanes - 1);
       (void)m.match(t, 0);
-      place_chunk_v2(t, m, 0, cols, vals, c,
+      place_chunk_v2(t, m, 0, t->plane_cnt[0]++, cols, vals, c,
                      lane_shuffle ? (t->lane_seed) : -1);
+      t->n_chunks++;
       open.push_back(t);
     }
     retire(static_cast<size_t>(max_open));
@@ -595,17 +600,31 @@ struct FinState {
 extern "C" {
 
 // Children must arrive sorted by orow.  max_f1 bounds the stage-1 tile
-// count (the kernel's scratch2 height).  Returns
-// (n_t1 << 32) | n_t2, or -1 if stage 1 overflows max_f1.
+// count (the kernel's scratch2 height).  ``direct`` skips stage 1 and
+// feeds children straight into stage-2 tiles (cell = the child's
+// scratch sublane) — the scattered regime, where rows have 1-3 children
+// and stage 1's one-group-per-lane shape would waste ~70% of its tiles.
+// Returns (n_t1 << 32) | n_t2, or -1 if stage 1 overflows max_f1.
 long long stpu_fused_finish(const int32_t* orow, const int32_t* sub,
                             const int32_t* lane, long long n, int max_f1,
-                            void** out_handle) {
+                            int direct, void** out_handle) {
   auto* st = new FinState();
   FinMatcher m;
   long long i = 0;
   // ---- stage 1: per-row chunks into gather tiles
   // partial list: (orow, t1, lane1) per chunk
   std::vector<int32_t> p_row, p_t1, p_lane;
+  if (direct) {
+    p_row.reserve(n);
+    p_t1.reserve(n);
+    p_lane.reserve(n);
+    for (long long k = 0; k < n; ++k) {
+      p_row.push_back(orow[k]);
+      p_t1.push_back(sub[k]);
+      p_lane.push_back(lane[k]);
+    }
+    i = n;
+  }
   while (i < n) {
     const int32_t r = orow[i];
     m.n_real = 0;

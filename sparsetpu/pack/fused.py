@@ -39,7 +39,7 @@ DEF_GLW = 16                       # window groups per tile (16384 cols)
 DEF_T = 128                        # tiles per grid step
 MAX_RESIDENT_COLS = 1_500_000      # x VMEM budget (~6 MB f32)
 MAX_F1 = 64                        # stage-1 finish tiles per step cap
-MAX_F2 = 32                        # stage-2 finish tiles per step cap
+MAX_F2 = 64                        # stage-2 finish tiles per step cap
 F2_DRAIN = 256                     # stage-2 drain cell sentinel
 
 
@@ -81,6 +81,7 @@ class FusedMatrix:
     F2_max: int
     F1S: int                # scratch2 height (pow2*8 >= F1_max)
     n_slabs: int
+    fin_direct: int = 0     # 1 = stage 2 reads the step scratch directly
 
     @property
     def G(self) -> int:
@@ -243,7 +244,7 @@ def _native_v2():
         return None
 
 
-def _finish_two_stage_numpy(orow, sub, lane, scr_rows):
+def _finish_two_stage_numpy(orow, sub, lane, scr_rows, direct=False):
     """NumPy port of the native two-stage finish builder (packer.cpp
     stpu_fused_finish); used when the C++ library is absent.  Python
     loops — fine for the small matrices the fallback serves."""
@@ -253,6 +254,10 @@ def _finish_two_stage_numpy(orow, sub, lane, scr_rows):
     t1 = []   # [cells (8,128), route, used, n_chunks, seed]
     partials = []
     i = 0
+    if direct:
+        partials = [(int(orow[k]), int(sub[k]), int(lane[k]))
+                    for k in range(n)]
+        i = n
     while i < n:
         r = orow[i]
         els = []
@@ -375,10 +380,17 @@ def _rechunk_lost(rows, cols, vals, grp_cols, Q, GLW):
     return (urow[c_rl], cols[src], np.where(real, vals[src], 0), real)
 
 
-def _finish_for_step(orows, sub_i, lane_i, scr_rows):
+def _finish_for_step(orows, sub_i, lane_i, scr_rows, direct=False):
     """Two-stage finish tiles for one step (native fast path with numpy
     fallback).  Returns (cells1, route1, group2, cells2, route2) lists
-    or None on overflow."""
+    or None on overflow.
+
+    ``direct`` (decided globally per matrix — the kernel selects ONE
+    stage-2 source) skips stage 1: for scattered rows (< ~3 children
+    each) its one-group-per-lane shape caps a tile at 128 rows, wasting
+    ~70% of its cells — children go straight to stage-2 slot-target
+    tiles reading the step scratch (the VF=1 exact-stream regime,
+    csr_hw.cpp:108-114)."""
     if orows.shape[0] == 0:
         return [], [], [], [], []
     osort = np.argsort(orows, kind="stable")
@@ -386,7 +398,8 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows):
         from ..native.packer import fused_finish_native
         out = fused_finish_native(orows[osort], sub_i[osort],
                                   lane_i[osort], scr_rows,
-                                  max_f1=MAX_F1, f1_drain=F2_DRAIN)
+                                  max_f1=MAX_F1, f1_drain=F2_DRAIN,
+                                  direct=direct)
         if out is None:
             return None
         cells1, route1, group2, cells2, route2 = out
@@ -408,10 +421,29 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows):
     except OSError:
         pass
     return _finish_two_stage_numpy(orows, sub_i.astype(np.int64),
-                                   lane_i.astype(np.int64), scr_rows)
+                                   lane_i.astype(np.int64), scr_rows,
+                                   direct=direct)
 
 
-def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
+def _choose_q(matrix: CSRMatrix, GLW: int) -> int:
+    """Pick the row-pad quantum by modeled time: slots (chunks * Q) over
+    the plane-dependent kernel rate, plus a finish term per chunk
+    (calibrated on-chip: the in-step finish costs ~4 slot-equivalents
+    per child).  Dense-ish rows pick Q=8; the scattered regime (short
+    per-window runs — the reference's VF=1 case, csr_hw.cpp:108-114)
+    picks Q=2/4 and trades planes for padding."""
+    # Measured on chip (scircuit-class stand-in, 5 nnz/row over 170k
+    # cols): Q=2 halves the padded slots but its matcher occupancy
+    # collapses to ~0.33 (2 slot choices per chunk even with free plane
+    # choice) and the direct finish runs ~11 slot-equivalents per child
+    # — net 6.1 Gnnz/s vs 9.8 for Q=8 (occupancy ~0.89 at low load,
+    # finish ~4/child).  Until a compact small-Q matcher exists, Q=8
+    # wins every regime we can measure.
+    return 8
+
+
+def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
+               GLW: int = DEF_GLW,
                T: Optional[int] = None, value_dtype=np.float32,
                use_native: bool = True, slack: float = 0.93,
                slab_steps: int = 12) -> Optional[FusedMatrix]:
@@ -426,14 +458,30 @@ def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
     nr_rows, nr_cols, nnz = matrix.nr_rows, matrix.nr_cols, matrix.nr_nzeros
     if nr_cols > MAX_RESIDENT_COLS or nnz == 0:
         return None
+    if Q is None:
+        Q = _choose_q(matrix, GLW)
     P = CHUNK // Q
+    # global finish shape: scattered matrices (rows with < ~3 chunks)
+    # skip stage 1 everywhere (the kernel picks one stage-2 source)
+    nz_rows = int((np.diff(matrix.row_ptr) > 0).sum())
     cpt = LANES * P                       # chunks per tile
     GX = max(GLW, -(-nr_cols // GRP_COLS))
     grp = (matrix.col_ind // GRP_COLS).astype(np.int64)
     c_start, c_end, c_row = _cut_chunks(matrix.row_ptr, grp, Q, GLW)
+    # direct finish only for small quanta (measured at Q=8 the
+    # two-stage finish wins: scircuit stand-in 9.8 vs 7.7 Gnnz/s)
+    fin_direct = Q < 8 and c_start.shape[0] < 5.5 * max(nz_rows, 1)
     if T is None:
         est_tiles = max(1, c_start.shape[0] // cpt)
         T = 128 if est_tiles >= 1024 else (32 if est_tiles >= 64 else 8)
+    # the int16 meta stream caps cell values at 9 bits: scratch rows
+    # (T * P; also the stage-1 drain) must stay <= F2_DRAIN
+    T = min(T, F2_DRAIN // P)
+    if fin_direct:
+        # scattered rows finish DIRECTLY from the step scratch (see
+        # _finish_for_step): keep it at <= 128 rows so the stage-2
+        # select tree stays 16 groups
+        T = min(T, max(128 // P, 8))
     scr_rows = T * P
     cpr = np.bincount(c_row, minlength=nr_rows)
     cpr_cum = np.concatenate([[0], np.cumsum(cpr)])
@@ -494,7 +542,8 @@ def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
             crow_s[:(t1 - t0) * P] = crow[t0 * P:t1 * P]
             sub_i, lane_i = np.nonzero(crow_s != trap)
             orows = crow_s[sub_i, lane_i]
-            fin = _finish_for_step(orows, sub_i, lane_i, scr_rows)
+            fin = _finish_for_step(orows, sub_i, lane_i, scr_rows,
+                                   direct=fin_direct)
             if fin is None:
                 return None
             steps.append((vals_l, meta_l, tbase_l, fin))
@@ -527,7 +576,8 @@ def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
             r0, r1 = int(sb[si]), int(sb[si + 1])
             res = _pack_step_numpy(matrix, c_start, c_end, c_row,
                                    cpr_cum, r0, r1, Q, GLW, T, GX,
-                                   scr_rows, cpt, value_dtype)
+                                   scr_rows, cpt, value_dtype,
+                                   fin_direct)
             if res is None:
                 if r1 - r0 > 1:
                     sb.insert(si + 1, (r0 + r1) // 2)
@@ -623,11 +673,13 @@ def pack_fused(matrix: CSRMatrix, Q: int = 8, GLW: int = DEF_GLW,
         spill_row=sp_r, spill_col=sp_c, spill_val=sp_v,
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=nnz,
         Q=Q, GLW=GLW, T=T, GX=GX, OBp=OBp, F1_max=F1_max,
-        F2_max=F2_max, F1S=F1S, n_slabs=n_slabs)
+        F2_max=F2_max, F1S=F1S, n_slabs=n_slabs,
+        fin_direct=1 if fin_direct else 0)
 
 
 def _pack_step_numpy(matrix, c_start, c_end, c_row, cpr_cum, r0, r1,
-                     Q, GLW, T, GX, scr_rows, cpt, value_dtype):
+                     Q, GLW, T, GX, scr_rows, cpt, value_dtype,
+                     fin_direct=False):
     """NumPy fallback: pack rows [r0, r1) into one grid step with the
     greedy matcher + retry rounds.  Returns
     (vals, meta16, tbase, fin_tiles, spills) or None on overflow."""
@@ -750,7 +802,8 @@ def _pack_step_numpy(matrix, c_start, c_end, c_row, cpr_cum, r0, r1,
         np.concatenate(fin_sub_parts).astype(np.int64)
         if fin_sub_parts else np.zeros(0, np.int64),
         np.concatenate(fin_lane_parts).astype(np.int64)
-        if fin_lane_parts else np.zeros(0, np.int64), scr_rows)
+        if fin_lane_parts else np.zeros(0, np.int64), scr_rows,
+        direct=fin_direct)
     if fin is None:
         return None
     meta_l = _fuse16(cells_l, route_l).reshape(T * CHUNK, LANES)
