@@ -1,7 +1,10 @@
-"""Distributed (mesh-sharded) SpMV: all-gather and ring-overlap schedules."""
+"""Distributed (mesh-sharded) SpMV: all-gather, ring-overlap and df64
+schedules."""
 
+from .df64 import ShardedSpmvDF64, shard_spmv_df64
 from .ring import RingShardedSpmv, ring_shard_spmv
 from .spmv_dist import ShardedSpmv, make_mesh, shard_spmv
 
-__all__ = ["ShardedSpmv", "RingShardedSpmv", "make_mesh", "shard_spmv",
-           "ring_shard_spmv"]
+__all__ = ["ShardedSpmv", "RingShardedSpmv", "ShardedSpmvDF64",
+           "make_mesh", "shard_spmv", "ring_shard_spmv",
+           "shard_spmv_df64"]
