@@ -94,25 +94,39 @@ class SparseMatrix:
                 # SpMV in one kernel pass when x fits VMEM; falls back
                 # to the classic windowed GStream path
                 fp = None
+                heavy_dev = None
                 if vdt is None and backend in ("auto", "pallas",
                                                "fused") and \
                         self.config.vf in (0, 4, 8) and \
                         self.config.block_cols >= 16 * 1024:
                     from ..pack.fused import pack_fused
                     # heavy rows blow the fused in-step finish (its
-                    # instance count is bounded per step); the classic
-                    # path's F pre-reduction levels handle them
-                    row_nnz_max = int(matrix.row_nnz().max()) \
-                        if matrix.nr_rows else 0
-                    if row_nnz_max <= 4096:
-                        fp = pack_fused(matrix,
-                                        Q=self.config.vf or None)
+                    # instance count is bounded per step); split them
+                    # out to a classic device (whose F pre-reduction
+                    # levels handle them) and fuse the light rest —
+                    # y = y_light + y_heavy (the powerlaw/webbase case)
+                    rn = matrix.row_nnz() if matrix.nr_rows else \
+                        np.zeros(0, np.int64)
+                    heavy_rows = np.flatnonzero(rn > 4096)
+                    fuse_target = matrix
+                    if heavy_rows.size:
+                        light, heavy = _split_rows(matrix, heavy_rows)
+                        heavy_dev = GStreamDevice(
+                            pack_gstream(heavy, self.config,
+                                         value_dtype=np.float32),
+                            interpret=interpret)
+                        fuse_target = light
+                    fp = pack_fused(fuse_target,
+                                    Q=self.config.vf or None)
                     if fp is not None and fp.fill_factor < 0.08:
                         fp = None        # pathological pack: classic
+                    if fp is None:
+                        heavy_dev = None
                 if fp is not None:
                     from ..kernels.spmv_fused import FusedDevice
                     self._packed = fp
                     self._device = FusedDevice(fp, interpret=interpret)
+                    self._heavy_dev = heavy_dev
                     self._source = matrix
                 elif backend == "fused":
                     raise ValueError(
@@ -168,7 +182,11 @@ class SparseMatrix:
                 # one kernel pass per CU row partition; y segments
                 # concatenate in row order (partitions are contiguous)
                 return jnp.concatenate([d.spmv(x) for d in self._parts])
-            return self._device.spmv(x)
+            y = self._device.spmv(x)
+            hv = getattr(self, "_heavy_dev", None)
+            if hv is not None:
+                y = y + hv.spmv(x)
+            return y
         x = jnp.asarray(x, dtype=self.dtype)
         return spmv_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
@@ -233,8 +251,10 @@ class SparseMatrix:
         """Pre-pack x for repeated spmv calls (create_csr_hw_x_vector,
         csr_hw_wrapper.cpp:187-191)."""
         if self._backend == "pallas":
-            if self._parts is not None:
-                # partitions pad x independently: keep it unpacked
+            if self._parts is not None or \
+                    getattr(self, "_heavy_dev", None) is not None:
+                # partitions / hybrid devices pad x independently:
+                # keep it unpacked
                 return jnp.asarray(x, dtype=jnp.float32)
             return self._device.prepare_x(x)
         return jnp.asarray(x, dtype=self.dtype)
@@ -244,6 +264,10 @@ class SparseMatrix:
             if self._parts is not None:
                 return jnp.concatenate(
                     [d.spmv(x_packed) for d in self._parts])
+            if getattr(self, "_heavy_dev", None) is not None:
+                # hybrid heavy/light: devices pad x differently — take
+                # the un-packed path (prepare_x returned raw x)
+                return self.spmv(x_packed)
             y = self._device.spmv(x_packed, x_is_packed=True)
             if self.config.is_double:
                 from ..kernels.f64emu import join_f64
@@ -295,12 +319,32 @@ class SparseMatrix:
         return 1.0
 
 
+def _split_rows(matrix: CSRMatrix, heavy_rows: np.ndarray):
+    """(light, heavy): both full-shape; heavy keeps only the given rows'
+    nnz, light the rest (y_light + y_heavy == y)."""
+    mask = np.zeros(matrix.nr_rows, dtype=bool)
+    mask[heavy_rows] = True
+    rn = matrix.row_nnz()
+    el_heavy = np.repeat(mask, rn)
+
+    def build(sel):
+        counts = np.where(mask if sel else ~mask, rn, 0)
+        ptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+            matrix.row_ptr.dtype)
+        take = el_heavy if sel else ~el_heavy
+        return CSRMatrix(ptr, matrix.col_ind[take], matrix.values[take],
+                         matrix.nr_rows, matrix.nr_cols)
+    return build(False), build(True)
+
+
 def _sm_flatten(sm):
     parts = tuple(sm._parts) if sm._parts is not None else None
     if sm._backend == "pallas":
-        children = (sm._device, parts, None, None, None)
+        children = (sm._device, parts,
+                    getattr(sm, "_heavy_dev", None), None, None, None)
     else:
-        children = (None, None, sm._row_ind, sm._col_ind, sm._values)
+        children = (None, None, None,
+                    sm._row_ind, sm._col_ind, sm._values)
     aux = (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
            sm._backend, sm._packed, sm._part_bounds)
     return children, aux
@@ -310,8 +354,9 @@ def _sm_unflatten(aux, children):
     sm = object.__new__(SparseMatrix)
     (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
      sm._backend, sm._packed, sm._part_bounds) = aux
-    sm._device, parts, row_ind, col_ind, values = children
+    sm._device, parts, heavy_dev, row_ind, col_ind, values = children
     sm._parts = list(parts) if parts is not None else None
+    sm._heavy_dev = heavy_dev
     if sm._backend != "pallas":
         sm._row_ind, sm._col_ind, sm._values = row_ind, col_ind, values
     return sm

@@ -12,7 +12,6 @@ Stage ladder (each adds one mechanism):
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

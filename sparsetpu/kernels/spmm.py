@@ -23,7 +23,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..pack.gather_stream import CHUNK, LANES, STRIPE
-from .spmv_xla import spmv_chunked_xla
 
 
 def _spmm_kernel(step_window_ref, xw_ref, val_ref, meta_ref,

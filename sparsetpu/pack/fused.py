@@ -434,11 +434,14 @@ def _choose_q(matrix: CSRMatrix, GLW: int) -> int:
     picks Q=2/4 and trades planes for padding."""
     # Measured on chip (scircuit-class stand-in, 5 nnz/row over 170k
     # cols): Q=2 halves the padded slots but its matcher occupancy
-    # collapses to ~0.33 (2 slot choices per chunk even with free plane
-    # choice) and the direct finish runs ~11 slot-equivalents per child
-    # — net 6.1 Gnnz/s vs 9.8 for Q=8 (occupancy ~0.89 at low load,
-    # finish ~4/child).  Until a compact small-Q matcher exists, Q=8
-    # wins every regime we can measure.
+    # collapses to ~0.33 under sub-slab sorting and the direct finish
+    # runs ~11 slot-equivalents per child — net 6.1 Gnnz/s vs 9.8 for
+    # Q=8.  EXCEPT the multiplicity~1 extreme (webbase-class, ~2
+    # nnz/row): there Q=8 pads 8x per element (chunk-fill 0.125 hard
+    # ceiling) and Q=2 + pure column order + direct finish wins.
+    nz_rows = int((np.diff(matrix.row_ptr) > 0).sum())
+    if matrix.nr_nzeros < 3 * max(nz_rows, 1):
+        return 2
     return 8
 
 
@@ -468,9 +471,12 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     GX = max(GLW, -(-nr_cols // GRP_COLS))
     grp = (matrix.col_ind // GRP_COLS).astype(np.int64)
     c_start, c_end, c_row = _cut_chunks(matrix.row_ptr, grp, Q, GLW)
-    # direct finish only for small quanta (measured at Q=8 the
-    # two-stage finish wins: scircuit stand-in 9.8 vs 7.7 Gnnz/s)
-    fin_direct = Q < 8 and c_start.shape[0] < 5.5 * max(nz_rows, 1)
+    # direct finish when rows have few chunks (multiplicity ~1-2:
+    # stage 1 would compress little while its one-group-per-lane cap
+    # forces a slab split every 8192 rows).  At multiplicity >= 3-4
+    # the two-stage finish wins (measured: scircuit-class 9.8 vs 7.7
+    # Gnnz/s at chunks/row 3.7).  Small quanta always go direct.
+    fin_direct = Q < 8 or c_start.shape[0] < 3.0 * max(nz_rows, 1)
     if T is None:
         est_tiles = max(1, c_start.shape[0] // cpt)
         T = 128 if est_tiles >= 1024 else (32 if est_tiles >= 64 else 8)
@@ -480,8 +486,11 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     if fin_direct:
         # scattered rows finish DIRECTLY from the step scratch (see
         # _finish_for_step): keep it at <= 128 rows so the stage-2
-        # select tree stays 16 groups
+        # select tree stays 16 groups; small slabs keep the out block
+        # (and so the aligned-group count the finish must touch per
+        # step) small
         T = min(T, max(128 // P, 8))
+        slab_steps = min(slab_steps, 2)
     scr_rows = T * P
     cpr = np.bincount(c_row, minlength=nr_rows)
     cpr_cum = np.concatenate([[0], np.cumsum(cpr)])
@@ -506,7 +515,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # major keeps each step's rows concentrated (small finish), and
         # tiles staying OPEN across sub-slab boundaries is fine — the
         # slab's out block covers every row of the slab
-        sub_rows = max(1, (r1 - r0) // slab_steps)
+        sub_rows = (0 if fin_direct
+                    else max(1, (r1 - r0) // slab_steps))
         v, c16, r8, crow, tb = nat_v2(
             rows_loc, matrix.col_ind[lo:hi],
             matrix.values[lo:hi].astype(np.float32, copy=False),

@@ -8,7 +8,6 @@ formats as .npz archives.
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

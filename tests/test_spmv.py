@@ -104,11 +104,14 @@ def test_finish_heavy_rows_f_levels():
         [rng.choice(c, k, replace=False) for k in nnz_per_row])
     vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
     m = CSRMatrix.from_coo(rows, cols, vals, r, c)
-    sm = SparseMatrix(m, backend="pallas", interpret=True)
-    dev = sm._device
+    # classic device explicitly (the auto path splits heavy rows into
+    # the hybrid fused+classic pair)
+    from sparsetpu.kernels.spmv_pallas import GStreamDevice
+    from sparsetpu.pack.gather_stream import pack_gstream
+    dev = GStreamDevice(pack_gstream(m), interpret=True)
     assert len(dev.finish) >= 1, "expected heavy-row F levels"
     x = rng.standard_normal(c)
-    y = np.asarray(sm.spmv(x))
+    y = np.asarray(dev.spmv(x))
     assert verification(spmv_gold(m, x), y, diff_thres=1e-3,
                         rel_thres=1e-3) == 0
 

@@ -67,3 +67,25 @@ def test_final_v2_used_on_ordered_packs():
     x = np.random.default_rng(1).standard_normal(mp.nr_cols)
     y = np.asarray(devp.spmv(x))
     assert verification(spmv_gold(mp, x), y, 1e-3, 1e-3) == 0
+
+
+def test_final_multi_past_8_blocks():
+    """r2 VERDICT missing #4: > 8 column blocks no longer fall off the
+    flat-V2 cliff — sections split into groups of <= 8, one V2 final
+    each, y summed."""
+    import numpy as np
+    from sparsetpu.formats.gold import spmv_gold
+    from sparsetpu.formats.random import random_csr
+    from sparsetpu.kernels.spmv_pallas import (GStreamDevice,
+                                               _FinalLevelMulti)
+    from sparsetpu.pack.gather_stream import pack_gstream
+
+    m = random_csr(2000, 400_000, density=0.0002, seed=4)
+    p = pack_gstream(m)
+    assert p.sections.shape[0] > 8
+    dev = GStreamDevice(p, interpret=True)
+    assert isinstance(dev.final, _FinalLevelMulti)
+    x = np.random.default_rng(1).standard_normal(m.nr_cols)
+    y = np.asarray(dev.spmv(x))
+    g = spmv_gold(m, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-5
