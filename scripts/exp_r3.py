@@ -259,7 +259,7 @@ def main():
                   flush=True)
 
 
-if __name__ == "__main__" and "extra" not in sys.argv:
+if __name__ == "__main__" and "extra" not in sys.argv and "i8" not in sys.argv:
     main()
 
 
@@ -366,5 +366,78 @@ def extra_variants(n_tiles=4096):
     run("tb2_tree8", k_tb2_tree8, meta_t16, 2)
 
 
-if __name__ == "__main__" and "extra" in sys.argv:
+if __name__ == "__main__" and "extra" in sys.argv and "i8" not in sys.argv:
     extra_variants(int(sys.argv[1]) if len(sys.argv) > 1 else 4096)
+
+
+def i8_variant(n_tiles=4096):
+    """tb_tree16 with SPLIT int8 meta streams (i1 byte + route byte)
+    instead of the fused int16 (cell << 7 | route): same 2 B/slot, but
+    the kernel skips the mask+shift unfuse."""
+    T = 128
+    rng = np.random.default_rng(0)
+    rows = n_tiles * CHUNK
+    val = jax.device_put(
+        rng.standard_normal((rows, LANES)).astype(np.float32))
+    route8 = jax.device_put(
+        rng.integers(0, LANES, size=(rows, LANES)).astype(np.int8))
+    cells16 = rng.integers(0, CHUNK * 16, size=(rows, LANES))
+    # i1 in [0,128): int8 holds it exactly
+    i1_8 = jax.device_put(cells16.astype(np.int8))
+    n_steps = n_tiles // T
+    GR = 128
+    xbig0 = jax.device_put(
+        rng.standard_normal((CHUNK * GR, LANES)).astype(np.float32))
+    bases = jax.device_put(rng.integers(
+        0, GR - 16, size=(n_steps, T)).astype(np.int32))
+
+    def tree_merge(parts, grp):
+        level = 0
+        while len(parts) > 1:
+            bit = jnp.bitwise_and(grp, 1 << level) != 0
+            parts = [jnp.where(bit, parts[i + 1], parts[i])
+                     for i in range(0, len(parts), 2)]
+            level += 1
+        return parts[0]
+
+    def k(base_ref, xw_ref, v_ref, i1_ref, j_ref, o_ref):
+        i = pl.program_id(0)
+        for t in range(T):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            b = base_ref[i, t]
+            i1 = i1_ref[sl, :].astype(jnp.int32)
+            j = j_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+            xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * 16), :]
+            parts = [jnp.take_along_axis(
+                xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                for g in range(16)]
+            g1 = tree_merge(parts, grp)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            o_ref[t, :] = jnp.sum(v_ref[sl, :] * g2, axis=0)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((CHUNK * GR, LANES), lambda i, b: (0, 0)),
+            pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((T * CHUNK, LANES), lambda i, b: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, LANES), lambda i, b: (i, 0)))
+    f = pl.pallas_call(
+        k, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), jnp.float32))
+    try:
+        t = timeit_chained(lambda xw: f(bases, xw, val, i1_8, route8),
+                           xbig0)
+        print(f"  tb_tree16_i8 {t*1e3:8.3f} ms  "
+              f"{n_tiles * 1024 / t / 1e9:6.1f} Gslot/s", flush=True)
+    except Exception as e:
+        print(f"  tb_tree16_i8: {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+
+
+if __name__ == "__main__" and "i8" in sys.argv:
+    i8_variant(int(sys.argv[1]) if len(sys.argv) > 1 else 4096)

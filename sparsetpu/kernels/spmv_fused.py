@@ -13,8 +13,10 @@ One Pallas kernel does the whole SpMV:
     AND the chunk-sum HBM round trip of the classic path (the
     accum_results analogue, csr_hw.cpp:1531-1565, now fully in-step).
 
-y reassembles from the per-step blocks with one gather; rare pack-time
-matcher losers are fixed up with a tiny COO scatter-add.
+Metadata ships as two int8 streams (stripe index + lane route, 2 B/slot
+total): measured +5%% over the fused int16 stream (no widen+mask+shift
+per tile).  y reassembles from the per-slab blocks with slices; rare
+pack-time matcher losers are fixed up with a tiny COO scatter-add.
 """
 
 from __future__ import annotations
@@ -43,16 +45,10 @@ def _tree_merge(parts, grp):
     return parts[0]
 
 
-def _split16(m_ref, sl):
-    """Unfuse the int16 (cell << 7 | route) stream; cell may use 9 bits
-    (finish drain), so the full 16 bits are unmasked."""
-    m32 = jnp.bitwise_and(m_ref[sl, :].astype(jnp.int32), 0xFFFF)
-    return jnp.right_shift(m32, 7), jnp.bitwise_and(m32, 0x7F)
-
-
 def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
-                  sfirst_ref, xw_ref, val_ref, meta_ref, f1meta_ref,
-                  f2meta_ref, out_ref, scratch_ref, scratch2_ref, *,
+                  sfirst_ref, xw_ref, val_ref, i1_ref, rt_ref,
+                  f1i1_ref, f1rt_ref, f2i1_ref, f2rt_ref,
+                  out_ref, scratch_ref, scratch2_ref, *,
                   T: int, GLW: int, P: int, F1_max: int, F2_max: int,
                   F1S: int, OBp: int, fin_direct: int = 0):
     i = pl.program_id(0)
@@ -62,7 +58,8 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
     for t in range(T):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
         b = tb_ref[i, t]
-        i1, j = _split16(meta_ref, sl)
+        i1 = i1_ref[sl, :].astype(jnp.int32)
+        j = rt_ref[sl, :].astype(jnp.int32)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
         grp = jnp.right_shift(i1, 3)
         xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
@@ -88,14 +85,15 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
     SG = SR // CHUNK
     for f in range(0 if fin_direct else F1_max):
         sl = slice(f * CHUNK, (f + 1) * CHUNK)
-        i1, j = _split16(f1meta_ref, sl)
+        i1 = f1i1_ref[sl, :].astype(jnp.int32)     # drain = -1
+        j = f1rt_ref[sl, :].astype(jnp.int32)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
+        grp = jnp.bitwise_and(jnp.right_shift(i1, 3), SG - 1)
         parts = [jnp.take_along_axis(
             scratch_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
             for g in range(SG)]
         g1 = _tree_merge(parts, grp)
-        g1 = jnp.where(i1 >= SR, jnp.float32(0), g1)
+        g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
         g2 = jnp.take_along_axis(g1, j, axis=1)
         scratch2_ref[f, :] = jnp.sum(g2, axis=0)
 
@@ -113,14 +111,15 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
     S2G = s2_rows // CHUNK
     for f in range(F2_max):
         sl = slice(f * CHUNK, (f + 1) * CHUNK)
-        i1, j = _split16(f2meta_ref, sl)
+        i1 = f2i1_ref[sl, :].astype(jnp.int32)     # drain = -1
+        j = f2rt_ref[sl, :].astype(jnp.int32)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
+        grp = jnp.bitwise_and(jnp.right_shift(i1, 3), S2G - 1)
         parts = [jnp.take_along_axis(
             s2_src[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
             for g in range(S2G)]
         g1 = parts[0] if S2G == 1 else _tree_merge(parts, grp)
-        g1 = jnp.where(i1 >= s2_rows, jnp.float32(0), g1)
+        g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
         g2 = jnp.take_along_axis(g1, j, axis=1)
         g = f2grp_ref[i, f]
         out_ref[pl.ds(g * CHUNK, CHUNK), :] = (
@@ -132,28 +131,30 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
                                              "n_steps", "n_slabs",
                                              "fin_direct", "interpret"))
 def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
-                       step_slab, step_first, x2, values, meta16,
-                       fin1_meta16, fin2_meta16, *, T: int, GLW: int,
+                       step_slab, step_first, x2, values, meta_i1,
+                       meta_rt, fin1_i1, fin1_rt, fin2_i1, fin2_rt, *,
+                       T: int, GLW: int,
                        P: int, F1_max: int, F2_max: int, F1S: int,
                        OBp: int, n_steps: int, n_slabs: int,
                        fin_direct: int = 0,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
     gx8 = x2.shape[0]
+
+    def step_spec():
+        return pl.BlockSpec((rows_per_step, LANES), lambda i, *p: (i, 0))
+
+    def fin_spec(fm):
+        return pl.BlockSpec((fm * CHUNK, LANES), lambda i, *p: (i, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((gx8, LANES),
-                         lambda i, *p: (0, 0)),
-            pl.BlockSpec((rows_per_step, LANES),
-                         lambda i, *p: (i, 0)),
-            pl.BlockSpec((rows_per_step, LANES),
-                         lambda i, *p: (i, 0)),
-            pl.BlockSpec((F1_max * CHUNK, LANES),
-                         lambda i, *p: (i, 0)),
-            pl.BlockSpec((F2_max * CHUNK, LANES),
-                         lambda i, *p: (i, 0)),
+            pl.BlockSpec((gx8, LANES), lambda i, *p: (0, 0)),
+            step_spec(), step_spec(), step_spec(),
+            fin_spec(F1_max), fin_spec(F1_max),
+            fin_spec(F2_max), fin_spec(F2_max),
         ],
         out_specs=pl.BlockSpec((OBp, LANES),
                                lambda i, tb, f1, f2, fg, ss, sf:
@@ -170,7 +171,7 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                                        jnp.float32),
         interpret=interpret,
     )(tile_base, fin1_cnt, fin2_cnt, fin2_group, step_slab, step_first,
-      x2, values, meta16, fin1_meta16, fin2_meta16)
+      x2, values, meta_i1, meta_rt, fin1_i1, fin1_rt, fin2_i1, fin2_rt)
 
 
 class FusedDevice:
@@ -180,9 +181,12 @@ class FusedDevice:
         self.meta = packed
         self.interpret = interpret
         self.values = jnp.asarray(packed.values)
-        self.meta16 = jnp.asarray(packed.meta16)
-        self.fin1_meta16 = jnp.asarray(packed.fin1_meta16)
-        self.fin2_meta16 = jnp.asarray(packed.fin2_meta16)
+        self.meta_i1 = jnp.asarray(packed.meta_i1)
+        self.meta_rt = jnp.asarray(packed.meta_rt)
+        self.fin1_i1 = jnp.asarray(packed.fin1_i1)
+        self.fin1_rt = jnp.asarray(packed.fin1_rt)
+        self.fin2_i1 = jnp.asarray(packed.fin2_i1)
+        self.fin2_rt = jnp.asarray(packed.fin2_rt)
         self.tile_base = jnp.asarray(packed.tile_base)
         self.fin1_cnt = jnp.asarray(packed.fin1_cnt)
         self.fin2_cnt = jnp.asarray(packed.fin2_cnt)
@@ -215,8 +219,8 @@ class FusedDevice:
         blocks = _fused_spmv_blocks(
             self.tile_base, self.fin1_cnt, self.fin2_cnt,
             self.fin2_group, self.step_slab, self.step_first, x2,
-            self.values, self.meta16, self.fin1_meta16,
-            self.fin2_meta16,
+            self.values, self.meta_i1, self.meta_rt,
+            self.fin1_i1, self.fin1_rt, self.fin2_i1, self.fin2_rt,
             T=m.T, GLW=m.GLW, P=m.planes, F1_max=m.F1_max,
             F2_max=m.F2_max, F1S=m.F1S, OBp=m.OBp,
             n_steps=m.n_steps, n_slabs=m.n_slabs,
@@ -240,7 +244,8 @@ class FusedDevice:
 def _fused_flatten(d):
     spills = ((d.spill_row, d.spill_col, d.spill_val)
               if d.n_spills else (None, None, None))
-    return ((d.values, d.meta16, d.fin1_meta16, d.fin2_meta16,
+    return ((d.values, d.meta_i1, d.meta_rt, d.fin1_i1, d.fin1_rt,
+             d.fin2_i1, d.fin2_rt,
              d.tile_base, d.fin1_cnt, d.fin2_cnt, d.fin2_group,
              d.step_slab, d.step_first) + spills,
             (d.meta, d.interpret, d.n_spills))
@@ -249,7 +254,8 @@ def _fused_flatten(d):
 def _fused_unflatten(aux, children):
     d = object.__new__(FusedDevice)
     d.meta, d.interpret, d.n_spills = aux
-    (d.values, d.meta16, d.fin1_meta16, d.fin2_meta16,
+    (d.values, d.meta_i1, d.meta_rt, d.fin1_i1, d.fin1_rt,
+     d.fin2_i1, d.fin2_rt,
      d.tile_base, d.fin1_cnt, d.fin2_cnt, d.fin2_group,
      d.step_slab, d.step_first, sr, sc, sv) = children
     if d.n_spills:

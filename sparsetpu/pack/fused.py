@@ -56,10 +56,13 @@ class FusedMatrix:
     """Packed fused-layout matrix (host arrays)."""
 
     values: np.ndarray      # (n_steps*T*8, 128) f32
-    meta16: np.ndarray      # (n_steps*T*8, 128) int16 (cell << 7 | route)
+    meta_i1: np.ndarray     # (n_steps*T*8, 128) int8 local stripe index
+    meta_rt: np.ndarray     # (n_steps*T*8, 128) int8 lane route
     tile_base: np.ndarray   # (n_steps, T) int32 window group base per tile
-    fin1_meta16: np.ndarray  # (n_steps*F1_max*8, 128) i16 stage-1 tiles
-    fin2_meta16: np.ndarray  # (n_steps*F2_max*8, 128) i16 stage-2 tiles
+    fin1_i1: np.ndarray     # (n_steps*F1_max*8, 128) i8 (drain = -1)
+    fin1_rt: np.ndarray     # (n_steps*F1_max*8, 128) i8
+    fin2_i1: np.ndarray     # (n_steps*F2_max*8, 128) i8 (drain = -1)
+    fin2_rt: np.ndarray     # (n_steps*F2_max*8, 128) i8
     fin2_group: np.ndarray   # (n_steps, F2_max) i32 aligned out group
     fin1_cnt: np.ndarray     # (n_steps,) int32
     fin2_cnt: np.ndarray     # (n_steps,) int32
@@ -113,8 +116,10 @@ class FusedMatrix:
         return self.nr_nzeros / max(self.n_slots, 1)
 
     def storage_bytes(self) -> int:
-        return (self.values.nbytes + self.meta16.nbytes
-                + self.fin1_meta16.nbytes + self.fin2_meta16.nbytes
+        return (self.values.nbytes + self.meta_i1.nbytes
+                + self.meta_rt.nbytes + self.fin1_i1.nbytes
+                + self.fin1_rt.nbytes + self.fin2_i1.nbytes
+                + self.fin2_rt.nbytes
                 + self.tile_base.nbytes + self.fin2_group.nbytes)
 
     def storage_overhead(self) -> float:
@@ -480,9 +485,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     if T is None:
         est_tiles = max(1, c_start.shape[0] // cpt)
         T = 128 if est_tiles >= 1024 else (32 if est_tiles >= 64 else 8)
-    # the int16 meta stream caps cell values at 9 bits: scratch rows
-    # (T * P; also the stage-1 drain) must stay <= F2_DRAIN
-    T = min(T, F2_DRAIN // P)
+    # int8 finish cells: scratch sublanes must fit 7 bits (drain = -1)
+    T = min(T, 128 // P)
     if fin_direct:
         # scattered rows finish DIRECTLY from the step scratch (see
         # _finish_for_step): keep it at <= 128 rows so the stage-2
@@ -537,17 +541,19 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         tb = tb[order_t]
         n_steps_s = -(-nt // T)
         ntp = n_steps_s * T
-        meta = ((c16.astype(np.int32) << 7)
-                | (r8.astype(np.int32) & 0x7F)).astype(np.int16)
+        i8 = c16.astype(np.int8)       # relative stripe < 8*GLW <= 128
         steps = []
         for s2 in range(n_steps_s):
             t0, t1 = s2 * T, min((s2 + 1) * T, nt)
             vals_l = np.zeros((T * CHUNK, LANES), dtype=np.float32)
-            meta_l = np.zeros((T * CHUNK, LANES), dtype=np.int16)
+            i1_l = np.zeros((T * CHUNK, LANES), dtype=np.int8)
+            rt_l = np.zeros((T * CHUNK, LANES), dtype=np.int8)
             tbase_l = np.zeros(T, dtype=np.int32)
             vals_l[:(t1 - t0) * CHUNK] = v[t0 * CHUNK:t1 * CHUNK]
-            meta_l[:(t1 - t0) * CHUNK] = meta[t0 * CHUNK:t1 * CHUNK]
+            i1_l[:(t1 - t0) * CHUNK] = i8[t0 * CHUNK:t1 * CHUNK]
+            rt_l[:(t1 - t0) * CHUNK] = r8[t0 * CHUNK:t1 * CHUNK]
             tbase_l[:t1 - t0] = tb[t0:t1]
+            meta_l = (i1_l, rt_l)
             crow_s = np.full((T * P, LANES), trap, dtype=np.int64)
             crow_s[:(t1 - t0) * P] = crow[t0 * P:t1 * P]
             sub_i, lane_i = np.nonzero(crow_s != trap)
@@ -613,7 +619,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         OBp *= 2
 
     values = np.empty((n_steps * T * CHUNK, LANES), dtype=np.float32)
-    meta16 = np.empty((n_steps * T * CHUNK, LANES), dtype=np.int16)
+    meta_i1 = np.empty((n_steps * T * CHUNK, LANES), dtype=np.int8)
+    meta_rt = np.empty((n_steps * T * CHUNK, LANES), dtype=np.int8)
     tile_base = np.empty((n_steps, T), dtype=np.int32)
     step_slab = np.empty(n_steps, dtype=np.int32)
     step_first = np.zeros(n_steps, dtype=np.int32)
@@ -624,7 +631,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     for slab_i, (r0, r1, steps) in enumerate(slab_results):
         for s2, (vals_l, meta_l, tbase_l, fin) in enumerate(steps):
             values[gi * T * CHUNK:(gi + 1) * T * CHUNK] = vals_l
-            meta16[gi * T * CHUNK:(gi + 1) * T * CHUNK] = meta_l
+            meta_i1[gi * T * CHUNK:(gi + 1) * T * CHUNK] = meta_l[0]
+            meta_rt[gi * T * CHUNK:(gi + 1) * T * CHUNK] = meta_l[1]
             tile_base[gi] = tbase_l
             step_slab[gi] = slab_i
             step_first[gi] = 1 if s2 == 0 else 0
@@ -639,23 +647,29 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     F1S = 8
     while F1S < F1_max:
         F1S *= 2
-    fin1_meta = np.full((n_steps, F1_max, CHUNK, LANES), scr_rows,
-                        dtype=np.int64)
+    # finish cells ship as int8 with drain = -1 (scratch sublanes fit
+    # 7 bits once T*P <= 128; the kernel masks i1 < 0)
+    fin1_meta = np.full((n_steps, F1_max, CHUNK, LANES), -1,
+                        dtype=np.int8)
     fin1_route = np.zeros((n_steps, F1_max, CHUNK, LANES),
-                          dtype=np.int64)
-    fin2_meta = np.full((n_steps, F2_max, CHUNK, LANES), F2_DRAIN,
-                        dtype=np.int64)
+                          dtype=np.int8)
+    fin2_meta = np.full((n_steps, F2_max, CHUNK, LANES), -1,
+                        dtype=np.int8)
     fin2_route = np.zeros((n_steps, F2_max, CHUNK, LANES),
-                          dtype=np.int64)
+                          dtype=np.int8)
     fin2_group = np.zeros((n_steps, F2_max), dtype=np.int32)
     for s in range(n_steps):
         c1, r1_, g2, c2, r2_ = all_fin[s]
         for f in range(len(c1)):
-            fin1_meta[s, f] = c1[f]
-            fin1_route[s, f] = r1_[f]
+            ca = np.asarray(c1[f])
+            fin1_meta[s, f] = np.where(ca >= scr_rows, -1,
+                                       ca).astype(np.int8)
+            fin1_route[s, f] = np.asarray(r1_[f]).astype(np.int8)
         for f in range(len(c2)):
-            fin2_meta[s, f] = c2[f]
-            fin2_route[s, f] = r2_[f]
+            ca = np.asarray(c2[f])
+            fin2_meta[s, f] = np.where(ca >= F2_DRAIN, -1,
+                                       ca).astype(np.int8)
+            fin2_route[s, f] = np.asarray(r2_[f]).astype(np.int8)
             fin2_group[s, f] = g2[f]
 
     slab_bounds = np.asarray([slab_results[0][0]]
@@ -674,9 +688,12 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         sp_v = cat(sp_acc[2], value_dtype)
 
     return FusedMatrix(
-        values=values, meta16=meta16, tile_base=tile_base,
-        fin1_meta16=_fuse16(fin1_meta, fin1_route).reshape(-1, LANES),
-        fin2_meta16=_fuse16(fin2_meta, fin2_route).reshape(-1, LANES),
+        values=values, meta_i1=meta_i1, meta_rt=meta_rt,
+        tile_base=tile_base,
+        fin1_i1=fin1_meta.reshape(-1, LANES),
+        fin1_rt=fin1_route.reshape(-1, LANES),
+        fin2_i1=fin2_meta.reshape(-1, LANES),
+        fin2_rt=fin2_route.reshape(-1, LANES),
         fin2_group=fin2_group, fin1_cnt=fin1_cnt, fin2_cnt=fin2_cnt,
         step_slab=step_slab, step_first=step_first,
         slab_bounds=slab_bounds,
@@ -705,7 +722,8 @@ def _pack_step_numpy(matrix, c_start, c_end, c_row, cpr_cum, r0, r1,
               np.zeros(0, np.float64)]
     if clo == chi:
         return (vals_l.reshape(T * CHUNK, LANES),
-                np.zeros((T * CHUNK, LANES), np.int16),
+                (np.zeros((T * CHUNK, LANES), np.int8),
+                 np.zeros((T * CHUNK, LANES), np.int8)),
                 tbase_l, [], spills)
     ci0 = clo + np.arange(chi - clo, dtype=np.int64)
     lens0 = (c_end[ci0] - c_start[ci0]).astype(np.int64)
@@ -816,5 +834,6 @@ def _pack_step_numpy(matrix, c_start, c_end, c_row, cpr_cum, r0, r1,
         direct=fin_direct)
     if fin is None:
         return None
-    meta_l = _fuse16(cells_l, route_l).reshape(T * CHUNK, LANES)
+    meta_l = (cells_l.astype(np.int8).reshape(T * CHUNK, LANES),
+              route_l.astype(np.int8).reshape(T * CHUNK, LANES))
     return vals_l.reshape(T * CHUNK, LANES), meta_l, tbase_l, fin, spills

@@ -66,8 +66,9 @@ def load_gstream(path: str) -> GStreamMatrix:
 _FUSED_SCALARS = ("nr_rows", "nr_cols", "nr_nzeros", "Q", "GLW", "T",
                   "GX", "OBp", "F1_max", "F2_max", "F1S", "n_slabs",
                   "fin_direct")
-_FUSED_ARRAYS = ("values", "meta16", "tile_base", "fin1_meta16",
-                 "fin2_meta16", "fin2_group", "fin1_cnt", "fin2_cnt",
+_FUSED_ARRAYS = ("values", "meta_i1", "meta_rt", "tile_base",
+                 "fin1_i1", "fin1_rt", "fin2_i1", "fin2_rt",
+                 "fin2_group", "fin1_cnt", "fin2_cnt",
                  "step_slab", "step_first", "slab_bounds", "spill_row",
                  "spill_col", "spill_val")
 
