@@ -58,6 +58,7 @@ class SparseMatrix:
         self._packed: Optional[GStreamMatrix] = None
         self._parts = None       # CU row partitions (num_partitions > 1)
         self._part_bounds = None
+        self._heavy_dev = None   # hybrid heavy-row device (powerlaw)
         if self._backend == "pallas" and self.config.is_double:
             # DOUBLE=1 (util.h:18-26): two-float emulated kernels
             if self.config.num_partitions > 1:
@@ -107,21 +108,34 @@ class SparseMatrix:
                     # y = y_light + y_heavy (the powerlaw/webbase case)
                     rn = matrix.row_nnz() if matrix.nr_rows else \
                         np.zeros(0, np.int64)
-                    heavy_rows = np.flatnonzero(rn > 4096)
-                    fuse_target = matrix
-                    if heavy_rows.size:
-                        light, heavy = _split_rows(matrix, heavy_rows)
-                        heavy_dev = GStreamDevice(
-                            pack_gstream(heavy, self.config,
-                                         value_dtype=np.float32),
-                            interpret=interpret)
-                        fuse_target = light
-                    fp = pack_fused(fuse_target,
-                                    Q=self.config.vf or None)
-                    if fp is not None and fp.fill_factor < 0.08:
-                        fp = None        # pathological pack: classic
-                    if fp is None:
-                        heavy_dev = None
+                    # threshold ladder: 4096 for ordinary matrices; 32
+                    # for the scattered/powerlaw profile, whose Q=2
+                    # direct finish can only absorb ~16 chunks per row
+                    for thresh in (4096, 32):
+                        heavy_rows = np.flatnonzero(rn > thresh)
+                        if thresh == 32 and not heavy_rows.size:
+                            break
+                        fuse_target = matrix
+                        hd = None
+                        if heavy_rows.size:
+                            light, heavy = _split_rows(matrix,
+                                                       heavy_rows)
+                            if heavy.nr_nzeros > 0.7 * matrix.nr_nzeros:
+                                continue    # mostly heavy: go classic
+                            hd = GStreamDevice(
+                                pack_gstream(heavy, self.config,
+                                             value_dtype=np.float32),
+                                interpret=interpret)
+                            fuse_target = light
+                        fp = pack_fused(fuse_target,
+                                        Q=self.config.vf or None)
+                        if fp is not None and fp.fill_factor < 0.08:
+                            fp = None    # pathological pack
+                        if fp is not None:
+                            heavy_dev = hd
+                            break
+                    else:
+                        fp = None
                 if fp is not None:
                     from ..kernels.spmv_fused import FusedDevice
                     self._packed = fp
