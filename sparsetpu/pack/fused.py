@@ -43,14 +43,6 @@ MAX_F2 = 64                        # stage-2 finish tiles per step cap
 F2_DRAIN = 256                     # stage-2 drain cell sentinel
 
 
-def _fuse16(cell, route):
-    """(cell << 7 | route) as int16, overflow-safe (cell may need 9 bits
-    for the finish drain at Q<8; the kernel unmasks with 0xFFFF)."""
-    w = ((cell.astype(np.int64) << 7)
-         | (route.astype(np.int64) & 0x7F)) & 0xFFFF
-    return w.astype(np.uint16).view(np.int16)
-
-
 @dataclasses.dataclass(eq=False)
 class FusedMatrix:
     """Packed fused-layout matrix (host arrays)."""

@@ -131,3 +131,36 @@ def test_fem_generator_structure():
     d = m.to_dense()
     assert np.allclose(d, d.T)              # symmetric
     assert (np.linalg.eigvalsh(d) > 0).all()  # SPD
+
+
+def test_hybrid_heavy_row_split():
+    """Powerlaw-ish matrices split heavy rows (> threshold nnz) into a
+    classic device; y = y_light + y_heavy matches gold."""
+    from sparsetpu.formats.csr import CSRMatrix
+    rng = np.random.default_rng(0)
+    nr = nc = 30000
+    rows_l, cols_l, vals_l = [], [], []
+    for r in range(nr):
+        k = 3 if r % 1000 else 5000
+        c = rng.choice(nc, k, replace=False)
+        rows_l.append(np.full(c.size, r))
+        cols_l.append(c)
+        vals_l.append(rng.standard_normal(c.size))
+    m = CSRMatrix.from_coo(np.concatenate(rows_l), np.concatenate(cols_l),
+                           np.concatenate(vals_l).astype(np.float32),
+                           nr, nc)
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    assert isinstance(sm._device, FusedDevice)
+    assert sm._heavy_dev is not None
+    x = rng.standard_normal(nc)
+    y = np.asarray(sm.spmv(x))
+    g = spmv_gold(m, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-4
+
+
+def test_scatter_profile_direct_finish():
+    """Multiplicity~1 matrices pick Q=2 + the direct stage-2 finish."""
+    m = random_csr(60_000, 60_000, density=2.2 / 60_000, seed=5)
+    p = pack_fused(m)
+    assert p.Q == 2 and p.fin_direct == 1
+    _check(m, p)
