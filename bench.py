@@ -83,6 +83,10 @@ def main():
         "metric": "spmv_throughput",
         "value": round(gnnz, 3),
         "unit": "Gnnz/s",
+        # vs_baseline compares against the REFERENCE's hardware ceiling
+        # (~1 Gnnz/s on ZCU102 HP ports) — a cross-hardware speedup, not
+        # a same-chip efficiency; roofline_frac is THIS chip's honest
+        # efficiency number (fraction of the HBM bound for bytes moved)
         "vs_baseline": round(gnnz / REFERENCE_CEILING_GNNZ_S, 2),
         "roofline_frac": round(floor_s / per_call, 3) if gnnz else 0.0,
         "fill": round(sm.fill_factor(), 3),

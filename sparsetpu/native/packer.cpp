@@ -405,8 +405,32 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       open.erase(open.begin());
     }
   };
+  long long last_slab = -1;
   for (size_t k = 0; k < chunks.size(); ++k) {
     const ChunkRef& c = chunks[order[k]];
+    // at sub-slab boundaries, retire tiles that are already nearly
+    // full: tiles kept open across sub-slabs spread their rows into
+    // later grid steps, inflating the fused finish (stage-1 tile count
+    // tracks rows-touched-per-step); the < 90% ones stay open for fill
+    if (slab_rows > 0) {
+      const long long sk = c.row / slab_rows;
+      if (sk != last_slab) {
+        last_slab = sk;
+        for (size_t t = 0; t < open.size();) {
+          if (open[t]->n_chunks >= cap * 9 / 10) {
+            Tile* tt = open[t];
+            st->done.push_back(tt);
+            int b = tt->glo;
+            if (b > G - GL) b = G - GL;
+            if (b < 0) b = 0;
+            st->base.push_back(b);
+            open.erase(open.begin() + t);
+          } else {
+            ++t;
+          }
+        }
+      }
+    }
     m.n_real = c.len;
     for (int e = 0; e < c.len; ++e) {
       m.res[e] = cols[c.start + e] & (kLanes - 1);
