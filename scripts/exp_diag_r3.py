@@ -10,7 +10,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sparsetpu.bench.micro import timeit_chained
 from sparsetpu.formats.random import random_csr
 from sparsetpu.pack.fused import pack_fused
-from sparsetpu.kernels.spmv_fused import FusedDevice, _tree_merge, _split16
+from sparsetpu.kernels.spmv_fused import FusedDevice, _tree_merge
 from sparsetpu.utils.config import LANES, SUBLANES as CHUNK
 
 m = random_csr(200_000, 100_000, density=0.0005, seed=1)
@@ -26,12 +26,13 @@ def report(name, t):
     print(f"  {name:12s} {t*1e6:8.1f} us  ({t*1e6/n_steps:.2f} us/step)  "
           f"{m.nr_nzeros/t/1e9:5.1f} Gnnz/s-equiv", flush=True)
 
-def fwd_kernel(tb_ref, xw_ref, val_ref, meta_ref, o_ref, *, T, GLW):
+def fwd_kernel(tb_ref, xw_ref, val_ref, i1r_ref, rt_ref, o_ref, *, T, GLW):
     i = pl.program_id(0)
     for t in range(T):
         sl = slice(t * CHUNK, (t + 1) * CHUNK)
         b = tb_ref[i, t]
-        i1, j = _split16(meta_ref, sl)
+        i1 = i1r_ref[sl, :].astype(jnp.int32)
+        j = rt_ref[sl, :].astype(jnp.int32)
         sub = jnp.bitwise_and(i1, CHUNK - 1)
         grp = jnp.right_shift(i1, 3)
         xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
@@ -49,74 +50,25 @@ gs = pltpu.PrefetchScalarGridSpec(
         pl.BlockSpec((x2.shape[0], LANES), lambda i, tb: (0, 0)),
         pl.BlockSpec((T * CHUNK, LANES), lambda i, tb: (i, 0)),
         pl.BlockSpec((T * CHUNK, LANES), lambda i, tb: (i, 0)),
+        pl.BlockSpec((T * CHUNK, LANES), lambda i, tb: (i, 0)),
     ],
     out_specs=pl.BlockSpec((T, LANES), lambda i, tb: (i, 0)))
 fA = pl.pallas_call(
     functools.partial(fwd_kernel, T=T, GLW=GLW), grid_spec=gs,
     out_shape=jax.ShapeDtypeStruct((n_steps * T, LANES), jnp.float32))
 report("fwd-only", timeit_chained(
-    lambda xw: fA(dev.tile_base, xw, dev.values, dev.meta16), x2, 192, 8))
-
-# B: forward + stage1, scratch2 streamed out
-def k_b(tb_ref, f1cnt_ref, xw_ref, val_ref, meta_ref, f1meta_ref,
-        o_ref, scratch_ref, *, T, GLW, F1):
-    i = pl.program_id(0)
-    for t in range(T):
-        sl = slice(t * CHUNK, (t + 1) * CHUNK)
-        b = tb_ref[i, t]
-        i1, j = _split16(meta_ref, sl)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
-        xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
-        parts = [jnp.take_along_axis(
-            xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(GLW)]
-        g1 = _tree_merge(parts, grp)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        scratch_ref[t, :] = jnp.sum(val_ref[sl, :] * g2, axis=0)
-    SR = T
-    SG = SR // CHUNK
-    for f in range(F1):
-        @pl.when(f < f1cnt_ref[i])
-        def _(f=f):
-            sl = slice(f * CHUNK, (f + 1) * CHUNK)
-            i1, j = _split16(f1meta_ref, sl)
-            sub = jnp.bitwise_and(i1, CHUNK - 1)
-            grp = jnp.right_shift(i1, 3)
-            parts = [jnp.take_along_axis(
-                scratch_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-                for g in range(SG)]
-            g1 = _tree_merge(parts, grp)
-            g1 = jnp.where(i1 >= SR, jnp.float32(0), g1)
-            g2 = jnp.take_along_axis(g1, j, axis=1)
-            o_ref[f, :] = jnp.sum(g2, axis=0)
-
-gsB = pltpu.PrefetchScalarGridSpec(
-    num_scalar_prefetch=2, grid=(n_steps,),
-    in_specs=[
-        pl.BlockSpec((x2.shape[0], LANES), lambda i, tb, fc: (0, 0)),
-        pl.BlockSpec((T * CHUNK, LANES), lambda i, tb, fc: (i, 0)),
-        pl.BlockSpec((T * CHUNK, LANES), lambda i, tb, fc: (i, 0)),
-        pl.BlockSpec((F1 * CHUNK, LANES), lambda i, tb, fc: (i, 0)),
-    ],
-    out_specs=pl.BlockSpec((F1S, LANES), lambda i, tb, fc: (i, 0)),
-    scratch_shapes=[pltpu.VMEM((T, LANES), jnp.float32)])
-fB = pl.pallas_call(
-    functools.partial(k_b, T=T, GLW=GLW, F1=F1), grid_spec=gsB,
-    out_shape=jax.ShapeDtypeStruct((n_steps * F1S, LANES), jnp.float32))
-report("fwd+s1", timeit_chained(
-    lambda xw: fB(dev.tile_base, dev.fin1_cnt, xw, dev.values,
-                  dev.meta16, dev.fin1_meta16), x2, 192, 8))
+    lambda xw: fA(dev.tile_base, xw, dev.values, dev.meta_i1,
+                  dev.meta_rt), x2, 192, 8))
 
 # C: full device spmv (no reassembly concat, raw blocks)
 from sparsetpu.kernels.spmv_fused import _fused_spmv_blocks
 def call_full(xw):
     return _fused_spmv_blocks(
         dev.tile_base, dev.fin1_cnt, dev.fin2_cnt, dev.fin2_group,
-        dev.step_slab, dev.step_first, xw, dev.values, dev.meta16,
-        dev.fin1_meta16, dev.fin2_meta16,
+        dev.step_slab, dev.step_first, xw, dev.values, dev.meta_i1,
+        dev.meta_rt, dev.fin1_i1, dev.fin1_rt, dev.fin2_i1, dev.fin2_rt,
         T=T, GLW=GLW, P=P, F1_max=F1, F2_max=F2, F1S=F1S, OBp=OBp,
-        n_steps=n_steps, n_slabs=n_slabs)
+        n_steps=n_steps, n_slabs=n_slabs, fin_direct=p.fin_direct)
 report("full-blocks", timeit_chained(call_full, x2, 192, 8))
 
 # D: full spmv incl. reassembly
@@ -124,41 +76,3 @@ def call_spmv(xw):
     return dev.spmv(xw, x_is_packed=True).reshape(1, -1)
 report("full+asm", timeit_chained(call_spmv, x2, 192, 8))
 
-# B2: stage1 without pl.when (drained tiles write zeros — still correct)
-def k_b2(tb_ref, f1cnt_ref, xw_ref, val_ref, meta_ref, f1meta_ref,
-         o_ref, scratch_ref, *, T, GLW, F1):
-    i = pl.program_id(0)
-    for t in range(T):
-        sl = slice(t * CHUNK, (t + 1) * CHUNK)
-        b = tb_ref[i, t]
-        i1, j = _split16(meta_ref, sl)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
-        xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
-        parts = [jnp.take_along_axis(
-            xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(GLW)]
-        g1 = _tree_merge(parts, grp)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        scratch_ref[t, :] = jnp.sum(val_ref[sl, :] * g2, axis=0)
-    SR = T
-    SG = SR // CHUNK
-    for f in range(F1):
-        sl = slice(f * CHUNK, (f + 1) * CHUNK)
-        i1, j = _split16(f1meta_ref, sl)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
-        parts = [jnp.take_along_axis(
-            scratch_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(SG)]
-        g1 = _tree_merge(parts, grp)
-        g1 = jnp.where(i1 >= SR, jnp.float32(0), g1)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        o_ref[f, :] = jnp.sum(g2, axis=0)
-
-fB2 = pl.pallas_call(
-    functools.partial(k_b2, T=T, GLW=GLW, F1=F1), grid_spec=gsB,
-    out_shape=jax.ShapeDtypeStruct((n_steps * F1S, LANES), jnp.float32))
-report("fwd+s1now", timeit_chained(
-    lambda xw: fB2(dev.tile_base, dev.fin1_cnt, xw, dev.values,
-                   dev.meta16, dev.fin1_meta16), x2, 192, 8))

@@ -109,7 +109,7 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         scan_matrix(matrix, cfg)
 
     with timer.phase("pack"):
-        if autotune and backend == "pallas" and not cfg.is_double:
+        if autotune and backend in ("pallas", "fused") and not cfg.is_double:
             from ..api.autotune import autotune_pack
             sm = autotune_pack(matrix)
         else:
@@ -161,7 +161,7 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
                 return max(med, 1e-9)
             n_hi *= 4
 
-    is_double = backend == "pallas" and cfg.is_double
+    is_double = backend in ("pallas", "fused") and cfg.is_double
     if is_double:
         # time the device (yh, yl) path; the f64 join happens host-side
         x2h, x2l = xp
@@ -176,12 +176,12 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
 
     kernel_s = finish_s = float("nan")
     from ..kernels.spmv_pallas import GStreamDevice as _GSD
-    if backend == "pallas" and not is_double and sm._device is not None \
+    if backend in ("pallas", "fused") and not is_double and sm._device is not None \
             and not isinstance(sm._device, _GSD):
         # fused layout: forward + finish run in ONE kernel — the whole
         # spmv IS the kernel time (no separate accumulation phase)
         kernel_s, finish_s = total_s, 0.0
-    elif backend == "pallas" and not is_double and sm._device is not None:
+    elif backend in ("pallas", "fused") and not is_double and sm._device is not None:
         from ..kernels.spmv_pallas import _gstream_chunk_sums
 
         def kernel_only(op, xi):

@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partitions", type=int, default=1,
                    help="row partitions (CU, Makefile:14; any >=1)")
     p.add_argument("--backend", default="pallas",
-                   choices=("pallas", "xla"))
+                   choices=("pallas", "fused", "xla"),
+                   help="pallas auto-selects the fused resident-x "
+                        "layout; 'fused' forces it (errors when "
+                        "inapplicable)")
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--verbose", "-v", action="count", default=0)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
