@@ -164,3 +164,24 @@ def test_scatter_profile_direct_finish():
     p = pack_fused(m)
     assert p.Q == 2 and p.fin_direct == 1
     _check(m, p)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fused_fuzz_shapes(seed):
+    """Randomized shapes/densities/empty-rows through the auto (fused or
+    classic) path — the fused layout must never be silently wrong."""
+    rng = np.random.default_rng(7000 + seed)
+    r = int(rng.integers(2, 5000))
+    c = int(rng.integers(16, 80000))
+    density = float(10 ** rng.uniform(-4, -0.7))
+    density = min(density, 6000 / max(r * c, 1) + density * 0.1)
+    m = random_csr(r, c, density=density, seed=seed,
+                   empty_row_frac=float(rng.uniform(0, 0.5)))
+    if m.nr_nzeros == 0:
+        return
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    x = rng.standard_normal(c)
+    y = np.asarray(sm.spmv(x))
+    g = spmv_gold(m, x)
+    scale = max(np.abs(g).max(), 1e-6)
+    assert np.abs(y - g).max() / scale < 1e-4
