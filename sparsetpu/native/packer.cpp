@@ -274,17 +274,10 @@ struct PackV2State {
   }
 };
 
-void place_chunk_v2(Tile* t, const ChunkMatcher& m, int plane, int k,
+void place_chunk_v2(Tile* t, const ChunkMatcher& m, int plane, int lane,
                     const int32_t* cols, const float* vals,
-                    const ChunkRef& c, int lane_seed) {
+                    const ChunkRef& c) {
   const int q = m.q;
-  // lane_seed >= 0: per-tile lane permutation (odd stride 37 is a lane
-  // bijection).  Decorrelates a row's lanes ACROSS tiles — without it,
-  // rows get ~equal ranks in every column bucket, so a row's chunks all
-  // land at the same lane and the fused finish's per-residue capacity
-  // (8 cells) is blown by construction (same failure the classic path's
-  // _shuffle_chunk_lanes fixes for its F levels).
-  const int lane = lane_seed < 0 ? k : ((k * 37 + lane_seed) & (kLanes - 1));
   const int sub0 = plane * q;
   bool slot_used[kChunk] = {false};
   for (int e = 0; e < c.len; ++e) {
@@ -317,11 +310,18 @@ void place_chunk_v2(Tile* t, const ChunkMatcher& m, int plane, int k,
 // slab_rows > 0 orders chunks by (row/slab_rows, group) instead of
 // (group): positions stay row-slab-contiguous, so the flat V2 final
 // level applies, at a locality cost of ~log(slab/128) extra GL groups.
+// lane_mode: 0 = rank order, 1 = per-tile 37-stride shuffle (odd stride
+// is a lane bijection; decorrelates a row's lanes ACROSS tiles so the
+// fused finish's per-residue capacity isn't blown — the classic path's
+// _shuffle_chunk_lanes), 2 = row-keyed (lane = row & 127): every chunk
+// of a row lands at ONE lane, so the scattered-regime stage-1 finish
+// packs each row into a single conflict-free lane column (consecutive
+// rows -> distinct lanes; see stpu_fused_finish).
 // Returns the tile count; copy out with stpu_pack_copy_v2.
 long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
                        const float* vals, long long n, int32_t trap_row,
                        int q, int GL, int G, int max_open, int slab_rows,
-                       int lane_shuffle, void** out_handle) {
+                       int lane_mode, void** out_handle) {
   if (q < 1 || q > kChunk || kChunk % q != 0) return -1;
   if (GL < 1 || GL > G || max_open < 1) return -1;
   const int planes = kChunk / q;
@@ -416,7 +416,13 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       const long long sk = c.row / slab_rows;
       if (sk != last_slab) {
         last_slab = sk;
-        for (size_t t = 0; t < open.size();) {
+        // row-keyed mode: retire EVERYTHING — a tile kept open across
+        // bands collects rows from several grid steps, and the stage-1
+        // finish pays a full lane column per row TOUCHED per step (the
+        // measured fill gain of cross-band tiles, ~0.10, costs ~2x the
+        // stage-1 slot count)
+        if (lane_mode >= 2) retire(0);
+        for (size_t t = 0; lane_mode < 2 && t < open.size();) {
           if (open[t]->n_chunks >= cap * 9 / 10) {
             Tile* tt = open[t];
             st->done.push_back(tt);
@@ -436,6 +442,20 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       m.res[e] = cols[c.start + e] & (kLanes - 1);
       m.stripe[e] = cols[c.start + e] >> 7;
     }
+    // row-keyed modes (lane_mode >= 2): K = 2^(lane_mode-2) candidate
+    // lanes per row, evenly spaced from row & 127.  K=1 pins a row's
+    // chunks to one lane (tightest stage-1 columns, starves the forward
+    // matcher); larger K trades stage-1 cell spread for forward fill.
+    const int n_keys = lane_mode >= 2 ? (1 << (lane_mode - 2)) : 1;
+    const int key0 = c.row & (kLanes - 1);
+    const int key_step = kLanes / n_keys;
+    auto free_keyed_lane = [&](Tile* t, int p) -> int {
+      for (int j = 0; j < n_keys; ++j) {
+        const int l = (key0 + j * key_step) & (kLanes - 1);
+        if (t->chunk_row[p][l] == trap_row) return l;
+      }
+      return -1;
+    };
     bool placed = false;
     for (Tile* t : open) {
       if (t->n_chunks >= cap) continue;
@@ -444,9 +464,19 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       if (nhi - nlo >= GL) continue;
       for (int p = 0; p < planes && !placed; ++p) {
         if (t->plane_cnt[p] >= kLanes) continue;
+        int lane;
+        if (lane_mode >= 2) {
+          lane = free_keyed_lane(t, p);
+          if (lane < 0) continue;
+        } else {
+          const int k = t->plane_cnt[p];
+          lane = lane_mode == 1
+                     ? ((k * 37 + t->lane_seed) & (kLanes - 1))
+                     : k;
+        }
         if (m.match(t, p)) {
-          place_chunk_v2(t, m, p, t->plane_cnt[p]++, cols, vals, c,
-                         lane_shuffle ? (t->lane_seed) : -1);
+          place_chunk_v2(t, m, p, lane, cols, vals, c);
+          t->plane_cnt[p]++;
           t->n_chunks++;
           placed = true;
         }
@@ -459,8 +489,12 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
       t->lane_seed = static_cast<int>((tile_counter++) * 53 + 11) &
                      (kLanes - 1);
       (void)m.match(t, 0);
-      place_chunk_v2(t, m, 0, t->plane_cnt[0]++, cols, vals, c,
-                     lane_shuffle ? (t->lane_seed) : -1);
+      const int lane0 =
+          lane_mode >= 2 ? key0
+          : (lane_mode == 1 ? ((0 * 37 + t->lane_seed) & (kLanes - 1))
+                            : 0);
+      place_chunk_v2(t, m, 0, lane0, cols, vals, c);
+      t->plane_cnt[0]++;
       t->n_chunks++;
       open.push_back(t);
     }

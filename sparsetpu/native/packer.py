@@ -104,9 +104,13 @@ def fused_finish_native(orow, sub, lane, scr_rows: int,
 
 def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
                    G: int, max_open: int = 0, slab_rows: int = 0,
-                   lane_shuffle: bool = False):
+                   lane_shuffle=False):
     """v2 pack of one column block from raw row-sorted triplets; returns
-    (values, cells[relative], route, chunk_row, tile_base)."""
+    (values, cells[relative], route, chunk_row, tile_base).
+
+    ``lane_shuffle`` is the lane mode: False/0 = rank order, True/1 =
+    per-tile 37-stride shuffle, 2 = row-keyed (lane = row & 127, the
+    scattered-regime mode — see packer.cpp stpu_pack_v2)."""
     lib = _bind(_lib())
     if not max_open:
         max_open = DEFAULT_MAX_OPEN.get(q, 16)
@@ -121,7 +125,7 @@ def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
         ctypes.c_longlong(rows.shape[0]), ctypes.c_int32(trap_row),
         ctypes.c_int(q), ctypes.c_int(GL), ctypes.c_int(G),
         ctypes.c_int(max_open), ctypes.c_int(slab_rows),
-        ctypes.c_int(1 if lane_shuffle else 0),
+        ctypes.c_int(int(lane_shuffle)),
         ctypes.byref(handle))
     if n_tiles < 0:
         raise RuntimeError("stpu_pack_v2 failed")

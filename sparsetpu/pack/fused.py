@@ -38,7 +38,8 @@ GRP_COLS = CHUNK * STRIPE          # 1024 columns per window group
 DEF_GLW = 16                       # window groups per tile (16384 cols)
 DEF_T = 128                        # tiles per grid step
 MAX_RESIDENT_COLS = 1_500_000      # x VMEM budget (~6 MB f32)
-MAX_F1 = 64                        # stage-1 finish tiles per step cap
+SCATTER_LANE_KEYS = 4              # lanes a row may use in the Q=1 pack
+MAX_F1 = 96                        # stage-1 finish tiles per step cap
 MAX_F2 = 64                        # stage-2 finish tiles per step cap
 F2_DRAIN = 256                     # stage-2 drain cell sentinel
 
@@ -423,23 +424,19 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows, direct=False):
 
 
 def _choose_q(matrix: CSRMatrix, GLW: int) -> int:
-    """Pick the row-pad quantum by modeled time: slots (chunks * Q) over
-    the plane-dependent kernel rate, plus a finish term per chunk
-    (calibrated on-chip: the in-step finish costs ~4 slot-equivalents
-    per child).  Dense-ish rows pick Q=8; the scattered regime (short
-    per-window runs — the reference's VF=1 case, csr_hw.cpp:108-114)
-    picks Q=2/4 and trades planes for padding."""
-    # Measured on chip (scircuit-class stand-in, 5 nnz/row over 170k
-    # cols): Q=2 halves the padded slots but its matcher occupancy
-    # collapses to ~0.33 under sub-slab sorting and the direct finish
-    # runs ~11 slot-equivalents per child — net 6.1 Gnnz/s vs 9.8 for
-    # Q=8.  EXCEPT the multiplicity~1 extreme (webbase-class, ~2
-    # nnz/row): there Q=8 pads 8x per element (chunk-fill 0.125 hard
-    # ceiling) and Q=2 + pure column order + direct finish wins.
-    nz_rows = int((np.diff(matrix.row_ptr) > 0).sum())
-    if matrix.nr_nzeros < 3 * max(nz_rows, 1):
-        return 2
-    return 8
+    """Pick the row-pad quantum by the matrix's chunk-run length: the
+    mean number of consecutive nnz a row keeps inside one GLW window.
+    Dense-ish rows (runs >= ~4) amortize Q=8's padding; the scattered
+    regime (runs ~1 — the reference's VF=1 zero-pad case,
+    csr_hw.cpp:108-114) packs each element as its own Q=1 chunk: the
+    forward stream is then exactly nnz-sized (up to matcher occupancy)
+    and the per-row reduction moves to the two-stage in-step finish."""
+    grp = (matrix.col_ind // GRP_COLS).astype(np.int64)
+    c_start, _, _ = _cut_chunks(matrix.row_ptr, grp, 8, GLW)
+    if c_start.shape[0] == 0:
+        return 8
+    mean_len = matrix.nr_nzeros / c_start.shape[0]
+    return 8 if mean_len >= 3.5 else 1
 
 
 def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
@@ -460,6 +457,24 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         return None
     if Q is None:
         Q = _choose_q(matrix, GLW)
+        if Q < 8:
+            # scattered regime: the padding / matcher-occupancy / finish
+            # trade is structure-sensitive, so pack the candidates and
+            # keep the cheapest by total slot count (packs here are
+            # sub-second: these matrices are small by construction)
+            best = None
+            for qc in (1, 2, 8):
+                cand = pack_fused(matrix, Q=qc, GLW=GLW, T=T,
+                                  value_dtype=value_dtype,
+                                  use_native=use_native, slack=slack,
+                                  slab_steps=slab_steps)
+                if cand is None:
+                    continue
+                cost = (cand.n_slots + (cand.fin1_i1.shape[0]
+                                        + cand.fin2_i1.shape[0]) * LANES)
+                if best is None or cost < best[0]:
+                    best = (cost, cand)
+            return best[1] if best else None
     P = CHUNK // Q
     # global finish shape: scattered matrices (rows with < ~3 chunks)
     # skip stage 1 everywhere (the kernel picks one stage-2 source)
@@ -468,13 +483,29 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     GX = max(GLW, -(-nr_cols // GRP_COLS))
     grp = (matrix.col_ind // GRP_COLS).astype(np.int64)
     c_start, c_end, c_row = _cut_chunks(matrix.row_ptr, grp, Q, GLW)
-    # direct finish when rows have few chunks (multiplicity ~1-2:
-    # stage 1 would compress little while its one-group-per-lane cap
-    # forces a slab split every 8192 rows).  At multiplicity >= 3-4
-    # the two-stage finish wins (measured: scircuit-class 9.8 vs 7.7
-    # Gnnz/s at chunks/row 3.7).  Small quanta always go direct.
-    fin_direct = Q < 8 or c_start.shape[0] < 3.0 * max(nz_rows, 1)
+    # direct finish only when rows have ~one chunk each (multiplicity
+    # ~1: stage 1 would compress nothing, and stage-2 tiles absorb one
+    # child per row cleanly).  At multiplicity >= ~2 the two-stage
+    # finish wins even at Q=1: stage 1 packs each row's children into
+    # one lane column (<= 8 sublane slots), so its slot count tracks
+    # children, while the direct stage-2 burns a whole out-group tile
+    # row per child (measured 5.75 slots/nnz on scircuit-class vs
+    # ~3 for two-stage).
+    mult = c_start.shape[0] / max(nz_rows, 1)
+    fin_direct = mult < 1.7
     if T is None:
+        if Q < 8 and not fin_direct:
+            # scattered two-stage: children per step = T*cpt chunks;
+            # stage-1 occupancy ~0.3 worst case must fit MAX_F1, so
+            # try T=16 then halve on finish overflow
+            for t_try in (16, 8, 4):
+                out = pack_fused(matrix, Q=Q, GLW=GLW, T=t_try,
+                                 value_dtype=value_dtype,
+                                 use_native=use_native, slack=slack,
+                                 slab_steps=slab_steps)
+                if out is not None:
+                    return out
+            return None
         est_tiles = max(1, c_start.shape[0] // cpt)
         T = 128 if est_tiles >= 1024 else (32 if est_tiles >= 64 else 8)
     # int8 finish cells: scratch sublanes must fit 7 bits (drain = -1)
@@ -513,11 +544,18 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # slab's out block covers every row of the slab
         sub_rows = (0 if fin_direct
                     else max(1, (r1 - r0) // slab_steps))
+        # lane mode: row-keyed for the scattered two-stage regime (a
+        # row's chunks restricted to SCATTER_LANE_KEYS lanes spaced from
+        # row&127 -> each touched row costs one stage-1 partial in a
+        # few cell columns); the 37-stride shuffle otherwise
+        # (decorrelates lanes across tiles)
+        lane_mode = ((2 + SCATTER_LANE_KEYS.bit_length() - 1)
+                     if (Q < 8 and not fin_direct) else 1)
         v, c16, r8, crow, tb = nat_v2(
             rows_loc, matrix.col_ind[lo:hi],
             matrix.values[lo:hi].astype(np.float32, copy=False),
             trap, q=Q, GL=GLW, G=GX, max_open=256, slab_rows=sub_rows,
-            lane_shuffle=True)
+            lane_shuffle=lane_mode)
         nt = tb.shape[0]
         # tiles retire when FULL, i.e. out of row order (a wide first-fit
         # window raises fill but lets tiles linger across sub-slabs);

@@ -158,11 +158,28 @@ def test_hybrid_heavy_row_split():
     assert np.abs(y - g).max() / np.abs(g).max() < 1e-4
 
 
-def test_scatter_profile_direct_finish():
-    """Multiplicity~1 matrices pick Q=2 + the direct stage-2 finish."""
+def test_scatter_profile_chooser():
+    """Scattered matrices pick the min-slot-cost candidate: Q < 8 (the
+    compact per-element stream) and never worse than the Q=8 pack."""
     m = random_csr(60_000, 60_000, density=2.2 / 60_000, seed=5)
     p = pack_fused(m)
-    assert p.Q == 2 and p.fin_direct == 1
+
+    def cost(pk):
+        return (pk.n_slots
+                + (pk.fin1_i1.shape[0] + pk.fin2_i1.shape[0]) * 128)
+
+    assert p.Q < 8
+    p8 = pack_fused(m, Q=8)
+    assert cost(p) <= cost(p8)
+    _check(m, p)
+
+
+def test_scatter_multiplicity_one_direct():
+    """~1 chunk/row rows go through the direct stage-2 finish (stage 1
+    would compress nothing)."""
+    m = random_csr(30_000, 120_000, density=1.05 / 120_000, seed=6)
+    p = pack_fused(m, Q=1)
+    assert p.fin_direct == 1
     _check(m, p)
 
 
