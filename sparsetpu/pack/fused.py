@@ -34,6 +34,10 @@ from ..formats.csr import CSRMatrix
 from ..utils.config import LANES
 from .gather_stream import CHUNK, STRIPE, _fill_free_slots, _match_tiles
 
+class _ScatterStarved(Exception):
+    """Step-exact band packing hit availability starvation."""
+
+
 GRP_COLS = CHUNK * STRIPE          # 1024 columns per window group
 DEF_GLW = 16                       # window groups per tile (16384 cols)
 DEF_T = 128                        # tiles per grid step
@@ -483,16 +487,21 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     GX = max(GLW, -(-nr_cols // GRP_COLS))
     grp = (matrix.col_ind // GRP_COLS).astype(np.int64)
     c_start, c_end, c_row = _cut_chunks(matrix.row_ptr, grp, Q, GLW)
-    # direct finish only when rows have ~one chunk each (multiplicity
-    # ~1: stage 1 would compress nothing, and stage-2 tiles absorb one
-    # child per row cleanly).  At multiplicity >= ~2 the two-stage
-    # finish wins even at Q=1: stage 1 packs each row's children into
-    # one lane column (<= 8 sublane slots), so its slot count tracks
-    # children, while the direct stage-2 burns a whole out-group tile
-    # row per child (measured 5.75 slots/nnz on scircuit-class vs
-    # ~3 for two-stage).
+    # direct finish when rows have ~one chunk each (multiplicity ~1:
+    # stage 1 would compress nothing, and stage-2 tiles absorb one
+    # child per row cleanly), OR when the column range cannot be
+    # covered by one grid step's window positions (GX >> T*GLW, the
+    # webbase case): step-exact banding then starves — each band is
+    # forced >= GX/GLW tiles regardless of its chunk count (measured:
+    # fill collapsed to 0.001).  Otherwise the two-stage finish wins at
+    # Q=1: stage 1 packs each row's children into one lane column, so
+    # its slot count tracks children, while the direct stage-2 burns a
+    # whole out-group tile row per child (measured 5.75 slots/nnz on
+    # scircuit-class vs ~1.9 for banded two-stage).
     mult = c_start.shape[0] / max(nz_rows, 1)
-    fin_direct = mult < 1.7
+    T_cap = (LANES // P) if Q < 8 else 128
+    fin_direct = mult < 1.7 or (Q < 8
+                                and GX > int(0.85 * T_cap * GLW))
     if T is None:
         if Q < 8 and not fin_direct:
             # scattered two-stage: children per step = T*cpt chunks;
@@ -528,11 +537,100 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     cols64 = matrix.col_ind.astype(np.int64)
     vals_all = matrix.values
 
+    def _build_step(v, c16, r8, crow, tb, nt, band_trap, roff,
+                    slab_trap):
+        """Assemble one grid step from nt <= T packed tiles (zero-pad
+        the rest; padded tiles contribute exact zeros).  crow arrives
+        band-local; the finish needs slab-local rows."""
+        vals_l = np.zeros((T * CHUNK, LANES), dtype=np.float32)
+        i1_l = np.zeros((T * CHUNK, LANES), dtype=np.int8)
+        rt_l = np.zeros((T * CHUNK, LANES), dtype=np.int8)
+        tbase_l = np.zeros(T, dtype=np.int32)
+        vals_l[:nt * CHUNK] = v
+        i1_l[:nt * CHUNK] = c16.astype(np.int8)
+        rt_l[:nt * CHUNK] = r8
+        tbase_l[:nt] = tb
+        crow_s = np.full((T * P, LANES), slab_trap, dtype=np.int64)
+        crow_s[:nt * P] = np.where(crow == band_trap, slab_trap,
+                                   crow.astype(np.int64) + roff)
+        sub_i, lane_i = np.nonzero(crow_s != slab_trap)
+        orows = crow_s[sub_i, lane_i]
+        fin = _finish_for_step(orows, sub_i, lane_i, scr_rows,
+                               direct=fin_direct)
+        if fin is None:
+            return None
+        return (vals_l, (i1_l, rt_l), tbase_l, fin)
+
+    def pack_slab_scatter(r0, r1, lane_mode):
+        """Scattered two-stage regime: pack each grid step as its OWN
+        row band (adaptive cursor, retry on tile overflow).  Rows
+        touched per step == the band's rows, so the stage-1 finish pays
+        its floor (one partial per row) instead of the ~2x spread that
+        cross-band open tiles cause."""
+        slab_trap = r1 - r0
+        steps = []
+        r = r0
+        est_cpb = T * cpt * 0.55          # chunks per band, adapted
+        starved = 0
+        while r < r1:
+            target = cpr_cum[r] + est_cpb
+            nr = int(np.searchsorted(cpr_cum, target, side="right")) - 1
+            nr = min(max(nr, r + 1), r1)
+            packed = None
+            for _ in range(3):
+                lo, hi = int(row_ptr64[r]), int(row_ptr64[nr])
+                if lo == hi:
+                    break
+                rows_loc = (np.repeat(
+                    np.arange(r, nr, dtype=np.int64),
+                    np.diff(row_ptr64[r:nr + 1])) - r).astype(np.int32)
+                out = nat_v2(
+                    rows_loc, matrix.col_ind[lo:hi],
+                    matrix.values[lo:hi].astype(np.float32, copy=False),
+                    nr - r, q=Q, GL=GLW, G=GX, max_open=256,
+                    slab_rows=0, lane_shuffle=lane_mode)
+                nt = out[4].shape[0]
+                if nt <= T:
+                    packed = out
+                    break
+                nr = r + max(1, int((nr - r) * T / nt * 0.93))
+            if int(row_ptr64[r]) == int(row_ptr64[nr]):
+                r = nr
+                continue
+            if packed is None:
+                return None           # a single heavy row overflows T
+            v, c16, r8, crow, tb = packed
+            nt = tb.shape[0]
+            chunks_band = float(cpr_cum[nr] - cpr_cum[r])
+            est_cpb = (0.5 * est_cpb
+                       + 0.5 * chunks_band * min(T / max(nt, 1), 1.5))
+            # availability starvation (bands forced to near-empty tiles
+            # by the column-window count): bail out so the Q chooser
+            # can fall back to a direct or Q=8 pack instead of grinding
+            # out thousands of ~empty steps
+            if chunks_band < 0.15 * T * cpt and nr < r1:
+                starved += 1
+                if starved >= 3:
+                    raise _ScatterStarved()
+            else:
+                starved = 0
+            step = _build_step(v, c16, r8, crow, tb, nt,
+                               band_trap=nr - r, roff=r - r0,
+                               slab_trap=slab_trap)
+            if step is None:
+                return None
+            steps.append(step)
+            r = nr
+        return steps
+
     # Each slab result: (r0, r1, [per-step (vals, meta16, tbase, ft)])
     def pack_slab_native(r0, r1):
         lo, hi = int(row_ptr64[r0]), int(row_ptr64[r1])
         if lo == hi:
             return []
+        if Q < 8 and not fin_direct:
+            return pack_slab_scatter(
+                r0, r1, 2 + SCATTER_LANE_KEYS.bit_length() - 1)
         rows_loc = (np.repeat(np.arange(r0, r1, dtype=np.int64),
                               np.diff(row_ptr64[r0:r1 + 1]))
                     - r0).astype(np.int32)
@@ -541,7 +639,10 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # glo sort keeps first-fit windows aligned (fill), the sub-slab
         # major keeps each step's rows concentrated (small finish), and
         # tiles staying OPEN across sub-slab boundaries is fine — the
-        # slab's out block covers every row of the slab
+        # slab's out block covers every row of the slab.  (Banding the
+        # DIRECT mode was measured strictly worse on webbase-class:
+        # fill 0.34 -> 0.25 and F2 padding doubled — the direct regime
+        # is availability-bound, not locality-bound.)
         sub_rows = (0 if fin_direct
                     else max(1, (r1 - r0) // slab_steps))
         # lane mode: row-keyed for the scattered two-stage regime (a
@@ -603,7 +704,10 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         si = 0
         while si < len(sb) - 1:
             r0, r1 = int(sb[si]), int(sb[si + 1])
-            res = pack_slab_native(r0, r1)
+            try:
+                res = pack_slab_native(r0, r1)
+            except _ScatterStarved:
+                return None   # let the Q chooser pick another layout
             if res is None:
                 if r1 - r0 > 1:
                     sb.insert(si + 1, (r0 + r1) // 2)
