@@ -183,6 +183,32 @@ def test_scatter_multiplicity_one_direct():
     _check(m, p)
 
 
+def test_scatter_step_exact_bands():
+    """The banded two-stage pack keeps each step's stage-1 tile count
+    near its floor (rows-touched/128) with little max-vs-mean jitter —
+    the property the step-exact row bands exist for."""
+    m = random_csr(20_000, 90_000, density=5.6 / 90_000, seed=3)
+    p = pack_fused(m, Q=1)
+    assert p.fin_direct == 0 and p.Q == 1
+    # floor: one stage-1 partial per row, <=128 partials per tile
+    rows_per_step = m.nr_rows / p.n_steps
+    assert p.F1_max <= 2.0 * (rows_per_step / 128 + 2)
+    assert p.F1_max <= 1.4 * max(p.fin1_cnt.mean(), 1)
+    _check(m, p)
+
+
+def test_scatter_wide_columns_no_starvation():
+    """Column ranges beyond one step's window positions (webbase-class)
+    must NOT grind through near-empty step-exact bands: the gate sends
+    them to the direct finish and the pack stays compact."""
+    m = random_csr(12_000, 600_000, density=2.6 / 600_000, seed=5)
+    p = pack_fused(m, Q=1)
+    assert p is not None and p.fin_direct == 1
+    # compactness: a starved banded pack measured ~990 slots/nnz
+    assert p.n_slots <= 8 * m.nr_nzeros
+    _check(m, p)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fused_fuzz_shapes(seed):
     """Randomized shapes/densities/empty-rows through the auto (fused or
