@@ -645,18 +645,11 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # is availability-bound, not locality-bound.)
         sub_rows = (0 if fin_direct
                     else max(1, (r1 - r0) // slab_steps))
-        # lane mode: row-keyed for the scattered two-stage regime (a
-        # row's chunks restricted to SCATTER_LANE_KEYS lanes spaced from
-        # row&127 -> each touched row costs one stage-1 partial in a
-        # few cell columns); the 37-stride shuffle otherwise
-        # (decorrelates lanes across tiles)
-        lane_mode = ((2 + SCATTER_LANE_KEYS.bit_length() - 1)
-                     if (Q < 8 and not fin_direct) else 1)
         v, c16, r8, crow, tb = nat_v2(
             rows_loc, matrix.col_ind[lo:hi],
             matrix.values[lo:hi].astype(np.float32, copy=False),
             trap, q=Q, GL=GLW, G=GX, max_open=256, slab_rows=sub_rows,
-            lane_shuffle=lane_mode)
+            lane_shuffle=1)
         nt = tb.shape[0]
         # tiles retire when FULL, i.e. out of row order (a wide first-fit
         # window raises fill but lets tiles linger across sub-slabs);
