@@ -645,11 +645,18 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # is availability-bound, not locality-bound.)
         sub_rows = (0 if fin_direct
                     else max(1, (r1 - r0) // slab_steps))
+        # direct-mode lane choice, measured on stand-ins: row-keyed
+        # (mode 2) lifts webbase-class forward fill 0.34 -> 0.38 (the
+        # matcher reuses the row's lane across its chunks), but hurts
+        # the multiplicity~1 regime where fill gains only concentrate
+        # more children per step (F2 33 -> 53); stage-2's tile count is
+        # bound by max-children-per-row either way
+        lm = 2 if (Q < 8 and fin_direct and mult >= 1.7) else 1
         v, c16, r8, crow, tb = nat_v2(
             rows_loc, matrix.col_ind[lo:hi],
             matrix.values[lo:hi].astype(np.float32, copy=False),
             trap, q=Q, GL=GLW, G=GX, max_open=256, slab_rows=sub_rows,
-            lane_shuffle=1)
+            lane_shuffle=lm)
         nt = tb.shape[0]
         # tiles retire when FULL, i.e. out of row order (a wide first-fit
         # window raises fill but lets tiles linger across sub-slabs);
