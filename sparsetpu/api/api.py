@@ -98,7 +98,7 @@ class SparseMatrix:
                 heavy_dev = None
                 if vdt is None and backend in ("auto", "pallas",
                                                "fused") and \
-                        self.config.vf in (0, 4, 8) and \
+                        self.config.vf in (0, 1, 2, 4, 8) and \
                         self.config.block_cols >= 16 * 1024:
                     from ..pack.fused import pack_fused
                     # heavy rows blow the fused in-step finish (its
