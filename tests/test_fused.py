@@ -197,6 +197,32 @@ def test_scatter_step_exact_bands():
     _check(m, p)
 
 
+def test_fused_save_load_roundtrip_q1():
+    """Checkpoint round-trip of a banded Q=1 pack preserves every
+    layout scalar (the round-2 serialize regression was exactly a
+    dropped scalar silently rebuilding a slower finish) and the spmv
+    result bitwise."""
+    import os
+    import tempfile
+
+    from sparsetpu.pack.serialize import load_fused, save_fused
+
+    m = random_csr(8_000, 60_000, density=5.6 / 60_000, seed=3)
+    p = pack_fused(m)
+    assert p.Q == 1 and p.fin_direct == 0
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.npz")
+        save_fused(path, p)
+        p2 = load_fused(path)
+    for k in ("Q", "GLW", "T", "GX", "OBp", "F1_max", "F2_max", "F1S",
+              "n_slabs", "fin_direct"):
+        assert getattr(p, k) == getattr(p2, k), k
+    x = np.random.default_rng(0).standard_normal(m.nr_cols)
+    y1 = np.asarray(FusedDevice(p, interpret=True).spmv(x))
+    y2 = np.asarray(FusedDevice(p2, interpret=True).spmv(x))
+    assert np.array_equal(y1, y2)
+
+
 def test_scatter_wide_columns_no_starvation():
     """Column ranges beyond one step's window positions (webbase-class)
     must NOT grind through near-empty step-exact bands: the gate sends
