@@ -235,6 +235,25 @@ def test_scatter_wide_columns_no_starvation():
     _check(m, p)
 
 
+@pytest.mark.parametrize("q", [1, 2, 4])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_forced_q_fuzz(q, seed):
+    """Forced small quanta over random scattered shapes: exercises the
+    C++ row-keyed lane modes, band cursor and both finish shapes."""
+    rng = np.random.default_rng(800 + seed)
+    r = int(rng.integers(500, 6000))
+    c = int(rng.integers(5000, 150000))
+    per_row = float(rng.uniform(1.0, 9.0))
+    m = random_csr(r, c, density=per_row / c, seed=seed,
+                   empty_row_frac=float(rng.uniform(0, 0.3)))
+    if m.nr_nzeros == 0:
+        return
+    p = pack_fused(m, Q=q)
+    if p is None:
+        return
+    _check(m, p)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fused_fuzz_shapes(seed):
     """Randomized shapes/densities/empty-rows through the auto (fused or
