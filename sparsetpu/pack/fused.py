@@ -607,10 +607,15 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
             # availability starvation (bands forced to near-empty tiles
             # by the column-window count): bail out so the Q chooser
             # can fall back to a direct or Q=8 pack instead of grinding
-            # out thousands of ~empty steps
-            if chunks_band < 0.15 * T * cpt and nr < r1:
+            # out thousands of ~empty steps.  Keyed on BAND FILL, not
+            # chunk count — a starved band can hold plenty of chunks
+            # spread over near-empty window tiles (measured: Q=2 on
+            # webbase-class packed 150 s to fill 0.005 under a
+            # chunk-count guard)
+            band_fill = chunks_band * Q / max(nt * CHUNK * LANES, 1)
+            if band_fill < 0.25 and nr < r1:
                 starved += 1
-                if starved >= 3:
+                if starved >= 2:
                     raise _ScatterStarved()
             else:
                 starved = 0
