@@ -215,6 +215,12 @@ class SparseMatrix:
                 from ..kernels.f64emu import spmm_df64
                 return spmm_df64(self._device, x)
             from ..kernels.spmm import spmm_gstream
+            if self._parts is not None:
+                # per-partition SpMM; row segments concatenate in order
+                # (partitions are contiguous, same as spmv above)
+                x = jnp.asarray(x)
+                return jnp.concatenate(
+                    [spmm_gstream(d, x) for d in self._parts])
             return spmm_gstream(self._classic_device(), jnp.asarray(x))
         x = jnp.asarray(x)
         return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
@@ -255,6 +261,13 @@ class SparseMatrix:
         if not isinstance(self._device, FusedDevice):
             return self._device
         if getattr(self, "_classic", None) is None:
+            if getattr(self, "_source", None) is None:
+                # pytree-reconstructed handle (jit boundary crossing
+                # drops host-side CSR): classic repack is impossible
+                raise ValueError(
+                    "fused matrix lost its source CSR (pytree "
+                    "reconstruction); call this op on the original "
+                    "handle")
             pk = pack_gstream(self._source, self.config,
                               value_dtype=np.float32)
             self._classic = GStreamDevice(
@@ -299,6 +312,11 @@ class SparseMatrix:
                              "unpack the original handle")
         if self._packed is None:
             raise ValueError("XLA-backend matrix: keep the original CSR")
+        from ..pack.fused import FusedMatrix
+        if isinstance(self._packed, FusedMatrix):
+            raise ValueError("fused matrix lost its source CSR (pytree "
+                             "reconstruction); unpack the original "
+                             "handle")
         return unpack_gstream(self._packed)
 
     def transpose(self) -> "SparseMatrix":
@@ -371,6 +389,7 @@ def _sm_unflatten(aux, children):
     sm._device, parts, heavy_dev, row_ind, col_ind, values = children
     sm._parts = list(parts) if parts is not None else None
     sm._heavy_dev = heavy_dev
+    sm._source = None     # host CSR does not cross the jit boundary
     if sm._backend != "pallas":
         sm._row_ind, sm._col_ind, sm._values = row_ind, col_ind, values
     return sm

@@ -457,6 +457,11 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     its steps, so the first-fit binning only pays its open-tile tail
     once per slab (~1%), not once per step (~15%)."""
     nr_rows, nr_cols, nnz = matrix.nr_rows, matrix.nr_cols, matrix.nr_nzeros
+    if GLW < 1 or (GLW & (GLW - 1)) or CHUNK * GLW > LANES:
+        # the kernel's _tree_merge needs a power-of-two part count and
+        # the int8 stripe meta holds at most 8*GLW-1 <= 127
+        raise ValueError(f"GLW must be a power of two <= {LANES // CHUNK}"
+                         f" (got {GLW})")
     if nr_cols > MAX_RESIDENT_COLS or nnz == 0:
         return None
     if Q is None:
@@ -701,6 +706,17 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
             steps.append((vals_l, meta_l, tbase_l, fin))
         return steps
 
+    def _dummy_step():
+        """One all-drained step for a slab with zero nnz: its only job
+        is tripping the kernel's step_first zeroing of the slab's out
+        block (without it the block is never written and y slices read
+        uninitialized HBM — interpret mode zero-fills, hardware does
+        not)."""
+        return (np.zeros((T * CHUNK, LANES), dtype=np.float32),
+                (np.zeros((T * CHUNK, LANES), dtype=np.int8),
+                 np.zeros((T * CHUNK, LANES), dtype=np.int8)),
+                np.zeros(T, dtype=np.int32), ([], [], [], [], []))
+
     slab_results = []       # (r0, r1, steps)
     if nat_v2 is not None:
         slab_chunks = int(slab_steps * T * cpt * 0.985)
@@ -718,6 +734,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                     sb.insert(si + 1, (r0 + r1) // 2)
                     continue
                 return None   # heavy single row: not fusable
+            if not res:       # all-empty row range
+                res = [_dummy_step()]
             slab_results.append((r0, r1, res))
             si += 1
     else:

@@ -273,3 +273,52 @@ def test_fused_fuzz_shapes(seed):
     g = spmv_gold(m, x)
     scale = max(np.abs(g).max(), 1e-6)
     assert np.abs(y - g).max() / scale < 1e-4
+
+
+def test_empty_trailing_slabs_get_zeroing_step():
+    """ADVICE r3 (high): a slab whose row range holds no nnz must still
+    get a grid step with step_first=1 — otherwise its out block is
+    never zeroed and y slices read uninitialized HBM on hardware
+    (interpret mode hides it by zero-filling)."""
+    rng = np.random.default_rng(3)
+    nr, nc = 35_000, 4000
+    rows = np.repeat(np.arange(1000), 5)
+    cols = rng.integers(0, nc, rows.size)
+    vals = rng.standard_normal(rows.size)
+    order = np.lexsort((cols, rows))
+    from sparsetpu.formats.csr import CSRMatrix
+    ptr = np.zeros(nr + 1, np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    m = CSRMatrix(np.cumsum(ptr), cols[order], vals[order], nr, nc)
+    p = pack_fused(m)
+    assert p is not None and p.n_slabs >= 2
+    # every slab must own at least one step, and that slab's first step
+    # must carry the zeroing flag
+    for s in range(p.n_slabs):
+        steps = np.flatnonzero(p.step_slab == s)
+        assert steps.size >= 1, f"slab {s} has no grid step"
+        assert p.step_first[steps[0]] == 1
+    _check(m, p)
+
+
+def test_glw_validation():
+    """ADVICE r3 (low): non-power-of-two or oversized GLW must raise,
+    not silently overflow the int8 stripe meta / break _tree_merge."""
+    m = random_csr(200, 2000, density=0.01, seed=0)
+    for bad in (3, 24, 32, 0):
+        with pytest.raises(ValueError):
+            pack_fused(m, GLW=bad)
+
+
+def test_pytree_reconstructed_unpack_raises():
+    """ADVICE r3 (low): a jit-boundary-reconstructed fused handle lost
+    its host CSR; unpack()/_classic_device must raise a clear error,
+    not AttributeError."""
+    import jax
+    m = random_csr(300, 3000, density=0.01, seed=1)
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    assert isinstance(sm._device, FusedDevice)
+    leaves, treedef = jax.tree_util.tree_flatten(sm)
+    sm2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    with pytest.raises(ValueError, match="source CSR"):
+        sm2.unpack()
