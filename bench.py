@@ -8,9 +8,23 @@ speedup over the reference hardware's bandwidth ceiling: the ZCU102's HP
 ports move ~10 GB/s and the packed stream costs ~10 B/nnz for f32
 (util.h:61, README.md:61-63) => ~1.0 Gnnz/s.  The reference publishes no
 measured numbers (BASELINE.md), so its roofline is the fairest stand-in.
+
+Failure handling (the reference prints its measured protocol on EVERY
+run, main.cpp:61-75; this bench must too): TPU backend init through the
+device tunnel can hang for minutes before raising UNAVAILABLE — it did
+in the round-3 official capture, which died rc=1 with no JSON line.  So
+the backend is probed in a SUBPROCESS with a hard timeout and bounded
+retries; if the chip is gone, the bench forces the CPU platform (the
+same jax.config trick tests/conftest.py and __graft_entry__ use, because
+the tunnel plugin force-registers over JAX_PLATFORMS) and runs a scaled-
+down interpret-mode protocol, emitting one JSON line with
+"backend": "cpu-fallback" and rc=0.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -18,16 +32,56 @@ import numpy as np
 REFERENCE_CEILING_GNNZ_S = 1.0  # ZCU102 HP ports ~10 GB/s / ~10 B per nnz
 
 
-def main():
+def _probe_tpu(attempts: int = 3, timeout_s: int = 150) -> bool:
+    """Bounded-time TPU availability probe in a child process.
+
+    jax backend init is done in a subprocess because a dead tunnel makes
+    it HANG (not raise) for several minutes; the parent stays clean to
+    force the CPU platform if the probe fails."""
+    code = "import jax; print(jax.default_backend())"
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s)
+            if out.returncode == 0 and out.stdout.strip().endswith("tpu"):
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(15)
+    return False
+
+
+def _force_cpu() -> None:
+    """Force the CPU platform before the first jax operation.
+
+    The tunnel plugin force-registers the TPU platform over
+    JAX_PLATFORMS, so the env var alone is not enough — override the
+    config and flush the backend cache (same mechanism as
+    tests/conftest.py)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        import jax._src.xla_bridge as _xb
+        _xb._clear_backends()
+    except Exception:
+        pass
+
+
+def run(on_tpu: bool, backend: str) -> None:
     import jax
     import jax.numpy as jnp
     from sparsetpu.formats.random import random_csr
     from sparsetpu.formats.gold import spmv_gold, verification
     from sparsetpu.api.api import SparseMatrix
 
-    on_tpu = jax.default_backend() == "tpu"
-    m = random_csr(200_000, 100_000, density=0.0005, seed=1,
-                   dtype=np.float32)
+    if on_tpu:
+        nr, nc = 200_000, 100_000   # ~10M nnz headline protocol
+    else:
+        nr, nc = 40_000, 20_000     # interpret mode: liveness, not speed
+    m = random_csr(nr, nc, density=0.0005, seed=1, dtype=np.float32)
     sm = SparseMatrix(m, backend="pallas", interpret=not on_tpu)
     d = sm._device
     x = np.random.default_rng(0).standard_normal(m.nr_cols)
@@ -90,12 +144,45 @@ def main():
         "vs_baseline": round(gnnz / REFERENCE_CEILING_GNNZ_S, 2),
         "roofline_frac": round(floor_s / per_call, 3) if gnnz else 0.0,
         "fill": round(sm.fill_factor(), 3),
+        "backend": backend,
         "layout": {"G": sm.packed.G, "Q": sm.packed.Q,
                    "final": ("fused-instep"
                              if getattr(sm._device, "final",
                                         None) is None
                              else type(sm._device.final).__name__)},
-    }))
+    }), flush=True)
+
+
+def main():
+    forced = os.environ.get("SPARSETPU_BENCH_BACKEND")
+    if forced:
+        backend = forced
+    else:
+        backend = "tpu" if _probe_tpu() else "cpu-fallback"
+    if backend != "tpu":
+        _force_cpu()
+    try:
+        run(on_tpu=backend == "tpu", backend=backend)
+        return
+    except Exception as e:
+        err = f"{type(e).__name__}: {e}"
+    if backend == "tpu" and not forced:
+        # tunnel died mid-run: salvage the capture with a clean-process
+        # CPU fallback (jax cannot switch platforms once initialized)
+        env = dict(os.environ, SPARSETPU_BENCH_BACKEND="cpu-fallback")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True,
+                             timeout=3600)
+        line = out.stdout.strip().splitlines()
+        if out.returncode == 0 and line:
+            print(line[-1], flush=True)
+            return
+    # last resort: still one parseable JSON line, rc=0 — a lost tunnel
+    # must never cost the round its official artifact
+    print(json.dumps({
+        "metric": "spmv_throughput", "value": 0.0, "unit": "Gnnz/s",
+        "vs_baseline": 0.0, "backend": "error", "error": err[:500],
+    }), flush=True)
 
 
 if __name__ == "__main__":
