@@ -66,8 +66,19 @@ class SparseMatrix:
                     "num_partitions > 1 with dtype=float64 is not "
                     "supported on one chip; shard over a mesh with "
                     "sparsetpu.dist instead")
-            from ..kernels.f64emu import DF64GStreamDevice
-            self._device = DF64GStreamDevice(matrix, interpret=interpret)
+            # DOUBLE rides the flagship fused layout when x (hi + lo
+            # planes) fits VMEM; classic windowed df64 otherwise
+            dev = None
+            if backend in ("auto", "pallas", "fused") and \
+                    self.config.vf in (0, 1, 2, 4, 8) and \
+                    self.config.block_cols >= 16 * 1024:
+                from ..kernels.spmv_fused import pack_fused_df64
+                dev = pack_fused_df64(matrix, interpret=interpret,
+                                      Q=self.config.vf or None)
+            if dev is None:
+                from ..kernels.f64emu import DF64GStreamDevice
+                dev = DF64GStreamDevice(matrix, interpret=interpret)
+            self._device = dev
             self._packed = self._device.meta
             self._source = matrix   # unpack of the hi plane would lose lo
         elif self._backend == "pallas":
@@ -84,10 +95,26 @@ class SparseMatrix:
                 self._part_bounds = (part.row_start, part.row_end)
                 self._parts = []
                 for s, e in zip(part.row_start, part.row_end):
-                    pk = pack_gstream(matrix.row_slice(int(s), int(e)),
-                                      self.config, value_dtype=np.float32)
-                    self._parts.append(GStreamDevice(
-                        pk, interpret=interpret, value_dtype=vdt))
+                    sub = matrix.row_slice(int(s), int(e))
+                    fp = None
+                    if vdt is None:
+                        # partitions ride the fused layout too: x is
+                        # shared and resident, only rows split — each
+                        # partition is just a smaller RFX pack
+                        # (util.h:41-59 CU knob x the flagship path)
+                        from ..pack.fused import pack_fused
+                        fp = pack_fused(sub, Q=self.config.vf or None)
+                        if fp is not None and fp.fill_factor < 0.02:
+                            fp = None
+                    if fp is not None:
+                        from ..kernels.spmv_fused import FusedDevice
+                        self._parts.append(FusedDevice(
+                            fp, interpret=interpret))
+                    else:
+                        pk = pack_gstream(sub, self.config,
+                                          value_dtype=np.float32)
+                        self._parts.append(GStreamDevice(
+                            pk, interpret=interpret, value_dtype=vdt))
                 self._packed = self._parts[0].meta
                 self._source = matrix
             else:
@@ -96,6 +123,7 @@ class SparseMatrix:
                 # to the classic windowed GStream path
                 fp = None
                 heavy_dev = None
+                heavy_rows_sel = None
                 if vdt is None and backend in ("auto", "pallas",
                                                "fused") and \
                         self.config.vf in (0, 1, 2, 4, 8) and \
@@ -110,10 +138,18 @@ class SparseMatrix:
                         np.zeros(0, np.int64)
                     # threshold ladder: 4096 for ordinary matrices; 32
                     # for the scattered/powerlaw profile, whose Q=2
-                    # direct finish can only absorb ~16 chunks per row
-                    for thresh in (4096, 32):
+                    # direct finish can only absorb ~16 chunks per row.
+                    # The profile picks the rung structurally (median
+                    # row occupancy) so the scattered case doesn't pay a
+                    # full pack at the 4096 rung first (webbase-class
+                    # measured ~40 s wasted there)
+                    nzr = rn[rn > 0]
+                    med = float(np.median(nzr)) if nzr.size else 8.0
+                    ladder = (4096, 32) if med >= 8 else (32,)
+                    for thresh in ladder:
                         heavy_rows = np.flatnonzero(rn > thresh)
-                        if thresh == 32 and not heavy_rows.size:
+                        if thresh == 32 and not heavy_rows.size \
+                                and len(ladder) > 1:
                             break
                         fuse_target = matrix
                         hd = None
@@ -129,10 +165,17 @@ class SparseMatrix:
                             fuse_target = light
                         fp = pack_fused(fuse_target,
                                         Q=self.config.vf or None)
-                        if fp is not None and fp.fill_factor < 0.08:
+                        # gate only truly pathological packs: scattered
+                        # 1M-col matrices legitimately land at fill
+                        # ~0.04-0.07 and still beat the classic windowed
+                        # path ~4x (webbase-class: 30 total slots/nnz
+                        # fused vs the locality-bound classic finish)
+                        if fp is not None and fp.fill_factor < 0.02:
                             fp = None    # pathological pack
                         if fp is not None:
                             heavy_dev = hd
+                            heavy_rows_sel = (heavy_rows if hd is not None
+                                              else None)
                             break
                     else:
                         fp = None
@@ -141,6 +184,9 @@ class SparseMatrix:
                     self._packed = fp
                     self._device = FusedDevice(fp, interpret=interpret)
                     self._heavy_dev = heavy_dev
+                    if heavy_rows_sel is not None:
+                        self._heavy_rows = jnp.asarray(
+                            heavy_rows_sel.astype(np.int32))
                     self._source = matrix
                 elif backend == "fused":
                     raise ValueError(
@@ -199,7 +245,8 @@ class SparseMatrix:
             y = self._device.spmv(x)
             hv = getattr(self, "_heavy_dev", None)
             if hv is not None:
-                y = y + hv.spmv(x)
+                # heavy rows packed compacted: scatter-add their y back
+                y = y.at[self._heavy_rows].add(hv.spmv(x))
             return y
         x = jnp.asarray(x, dtype=self.dtype)
         return spmv_coo_xla(self._row_ind, self._col_ind, self._values, x,
@@ -215,13 +262,30 @@ class SparseMatrix:
                 from ..kernels.f64emu import spmm_df64
                 return spmm_df64(self._device, x)
             from ..kernels.spmm import spmm_gstream
+            from ..kernels.spmv_fused import FusedDevice
             if self._parts is not None:
                 # per-partition SpMM; row segments concatenate in order
                 # (partitions are contiguous, same as spmv above)
                 x = jnp.asarray(x)
-                return jnp.concatenate(
-                    [spmm_gstream(d, x) for d in self._parts])
-            return spmm_gstream(self._classic_device(), jnp.asarray(x))
+
+                def part_spmm(d):
+                    if isinstance(d, FusedDevice):
+                        if d.spmm_applicable(int(x.shape[1])):
+                            return d.spmm(x)
+                        return jnp.stack([d.spmv(x[:, i]) for i in
+                                          range(int(x.shape[1]))], axis=1)
+                    return spmm_gstream(d, x)
+                return jnp.concatenate([part_spmm(d)
+                                        for d in self._parts])
+            x = jnp.asarray(x)
+            if isinstance(self._device, FusedDevice) and \
+                    self._device.spmm_applicable(int(x.shape[1])):
+                Y = self._device.spmm(x)
+                hv = getattr(self, "_heavy_dev", None)
+                if hv is not None:
+                    Y = Y.at[self._heavy_rows].add(spmm_gstream(hv, x))
+                return Y
+            return spmm_gstream(self._classic_device(), x)
         x = jnp.asarray(x)
         return spmm_coo_xla(self._row_ind, self._col_ind, self._values, x,
                             self.nr_rows)
@@ -352,30 +416,39 @@ class SparseMatrix:
 
 
 def _split_rows(matrix: CSRMatrix, heavy_rows: np.ndarray):
-    """(light, heavy): both full-shape; heavy keeps only the given rows'
-    nnz, light the rest (y_light + y_heavy == y)."""
+    """(light, heavy): light is full-shape with the heavy rows' nnz
+    removed; heavy is COMPACTED to len(heavy_rows) rows (a mostly-empty
+    full-shape heavy matrix made its device's finish build and runtime
+    scan ~100x bigger than needed — webbase-class measured 9 s of final
+    build over 1M rows holding 7.8k non-empty ones).  Callers scatter
+    heavy's y back via ``heavy_rows``."""
     mask = np.zeros(matrix.nr_rows, dtype=bool)
     mask[heavy_rows] = True
     rn = matrix.row_nnz()
     el_heavy = np.repeat(mask, rn)
 
-    def build(sel):
-        counts = np.where(mask if sel else ~mask, rn, 0)
-        ptr = np.concatenate([[0], np.cumsum(counts)]).astype(
-            matrix.row_ptr.dtype)
-        take = el_heavy if sel else ~el_heavy
-        return CSRMatrix(ptr, matrix.col_ind[take], matrix.values[take],
-                         matrix.nr_rows, matrix.nr_cols)
-    return build(False), build(True)
+    counts = np.where(~mask, rn, 0)
+    ptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+        matrix.row_ptr.dtype)
+    light = CSRMatrix(ptr, matrix.col_ind[~el_heavy],
+                      matrix.values[~el_heavy],
+                      matrix.nr_rows, matrix.nr_cols)
+    hptr = np.concatenate(
+        [[0], np.cumsum(rn[heavy_rows])]).astype(matrix.row_ptr.dtype)
+    heavy = CSRMatrix(hptr, matrix.col_ind[el_heavy],
+                      matrix.values[el_heavy],
+                      int(heavy_rows.shape[0]), matrix.nr_cols)
+    return light, heavy
 
 
 def _sm_flatten(sm):
     parts = tuple(sm._parts) if sm._parts is not None else None
     if sm._backend == "pallas":
         children = (sm._device, parts,
-                    getattr(sm, "_heavy_dev", None), None, None, None)
+                    getattr(sm, "_heavy_dev", None),
+                    getattr(sm, "_heavy_rows", None), None, None, None)
     else:
-        children = (None, None, None,
+        children = (None, None, None, None,
                     sm._row_ind, sm._col_ind, sm._values)
     aux = (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
            sm._backend, sm._packed, sm._part_bounds)
@@ -386,9 +459,11 @@ def _sm_unflatten(aux, children):
     sm = object.__new__(SparseMatrix)
     (sm.config, sm.nr_rows, sm.nr_cols, sm.nr_nzeros, sm.dtype,
      sm._backend, sm._packed, sm._part_bounds) = aux
-    sm._device, parts, heavy_dev, row_ind, col_ind, values = children
+    (sm._device, parts, heavy_dev, heavy_rows,
+     row_ind, col_ind, values) = children
     sm._parts = list(parts) if parts is not None else None
     sm._heavy_dev = heavy_dev
+    sm._heavy_rows = heavy_rows
     sm._source = None     # host CSR does not cross the jit boundary
     if sm._backend != "pallas":
         sm._row_ind, sm._col_ind, sm._values = row_ind, col_ind, values

@@ -392,6 +392,24 @@ def spmm_df64(device, x_multi):
     plane.  Accepts a float64 array or a DF64; returns np.float64
     (nr_rows, k) for host input, DF64 for DF64 input."""
     from ..pack.gather_stream import STRIPE
+    from .spmv_fused import DF64FusedDevice
+    if isinstance(device, DF64FusedDevice):
+        # fused-layout df64 device: per-column fused spmv (each column
+        # still runs the one-kernel df64 path; a k-plane fused df64
+        # kernel would need 2k resident planes — VMEM-bound, not built)
+        want = isinstance(x_multi, DF64)
+        if want:
+            cols = [DF64(x_multi.hi[:, i], x_multi.lo[:, i])
+                    for i in range(x_multi.hi.shape[1])]
+        else:
+            xm = np.asarray(x_multi, np.float64)
+            cols = [xm[:, i] for i in range(xm.shape[1])]
+        ys = [device.spmv(c) for c in cols]
+        yh = jnp.stack([y[0] for y in ys], axis=1)
+        yl = jnp.stack([y[1] for y in ys], axis=1)
+        if want:
+            return DF64(yh, yl)
+        return join_f64(np.asarray(yh), np.asarray(yl))
     meta = device.meta
     want_df64 = isinstance(x_multi, DF64)
     if want_df64:

@@ -95,7 +95,17 @@ def save_device(path: str, device) -> None:
     from ..kernels.f64emu import DF64GStreamDevice
     if isinstance(device, DF64GStreamDevice):
         return _save_df64_device(path, device)
-    from ..kernels.spmv_fused import FusedDevice
+    from ..kernels.spmv_fused import DF64FusedDevice, FusedDevice
+    if isinstance(device, DF64FusedDevice):
+        # one shared metadata set + the lo value plane (+ lo spills)
+        arrs = {k: getattr(device.meta, k) for k in _FUSED_ARRAYS}
+        arrs["fused_meta"] = np.array(
+            [getattr(device.meta, k) for k in _FUSED_SCALARS],
+            dtype=np.int64)
+        arrs["df64_vlo"] = np.asarray(device.vlo)
+        if device.n_spills:
+            arrs["df64_spill_vlo"] = np.asarray(device.spill_vl)
+        return np.savez_compressed(path, **arrs)
     if isinstance(device, FusedDevice):
         return save_fused(path, device.meta)
     from ..kernels.spmv_pallas import GStreamDevice
@@ -230,6 +240,15 @@ def load_device(path: str, interpret: bool = False):
                                        _FinalLevelV2, _FLevel)
 
     z = np.load(path)
+    if "fused_meta" in z and "df64_vlo" in z:
+        import dataclasses
+        from ..kernels.spmv_fused import DF64FusedDevice
+        ph = load_fused(path)
+        pl_ = dataclasses.replace(
+            ph, values=z["df64_vlo"],
+            spill_val=(z["df64_spill_vlo"] if "df64_spill_vlo" in z
+                       else ph.spill_val))
+        return DF64FusedDevice(ph, pl_, interpret=interpret)
     if "fused_meta" in z:
         from ..kernels.spmv_fused import FusedDevice
         return FusedDevice(load_fused(path), interpret=interpret)

@@ -34,9 +34,12 @@ def test_vf_sets_pack_quantum(matrix):
 
 
 def test_num_partitions_splits_and_matches_gold(matrix):
+    from sparsetpu.kernels.spmv_fused import FusedDevice
     cfg = SpmvConfig(dtype=np.float32, num_partitions=3)
     sm = SparseMatrix(matrix, cfg, interpret=True)
     assert sm._parts is not None and len(sm._parts) == 3
+    # partitions ride the flagship fused layout (VERDICT r3 item 8)
+    assert all(isinstance(d, FusedDevice) for d in sm._parts)
     starts, ends = sm._part_bounds
     assert starts[0] == 0 and ends[-1] == matrix.nr_rows
     x = _x(matrix)
@@ -70,9 +73,19 @@ def test_block_cols_rejects_oversized_g_pin(matrix):
 
 
 def test_dtype_double_uses_df64_device(matrix):
-    from sparsetpu.kernels.f64emu import DF64GStreamDevice
+    from sparsetpu.kernels.spmv_fused import DF64FusedDevice
     sm = SparseMatrix(matrix, SpmvConfig(dtype=np.float64),
                       interpret=True)
+    # DOUBLE=1 rides the flagship fused layout (VERDICT r3 item 7)
+    assert isinstance(sm._device, DF64FusedDevice)
+
+
+def test_dtype_double_wide_matrix_takes_classic_device():
+    """Two resident x planes don't fit VMEM past ~700k cols: the df64
+    path must fall back to the windowed classic device."""
+    from sparsetpu.kernels.f64emu import DF64GStreamDevice
+    m = random_csr(300, 800_001, density=0.0002, seed=9)
+    sm = SparseMatrix(m, SpmvConfig(dtype=np.float64), interpret=True)
     assert isinstance(sm._device, DF64GStreamDevice)
 
 

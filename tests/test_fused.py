@@ -73,13 +73,34 @@ def test_api_auto_selects_fused():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_api_fused_spmm_falls_back_to_classic():
+def test_api_fused_spmm_matches_gold():
+    """Multi-RHS on the fused resident-x layout itself (VERDICT r3
+    item 5): one metadata decode serves all k planes in-step."""
     m = random_csr(400, 3000, density=0.01, seed=3)
     sm = SparseMatrix(m, SpmvConfig(dtype=np.float32), interpret=True)
+    assert isinstance(sm._device, FusedDevice)
+    assert sm._device.spmm_applicable(3)
     X = np.random.default_rng(0).standard_normal((m.nr_cols, 3))
     Y = np.asarray(sm.spmm(X))
     G = np.stack([spmv_gold(m, X[:, k]) for k in range(3)], axis=1)
     np.testing.assert_allclose(Y, G, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_spmm_device_direct_and_gate():
+    """FusedDevice.spmm matches per-column spmv for several k; an
+    absurd k fails the VMEM gate."""
+    m = random_csr(900, 4000, density=0.008, seed=11)
+    p = pack_fused(m)
+    assert p is not None
+    dev = FusedDevice(p, interpret=True)
+    rng = np.random.default_rng(2)
+    for k in (1, 4, 8):
+        X = rng.standard_normal((m.nr_cols, k))
+        Y = np.asarray(dev.spmm(X))
+        G = np.stack([np.asarray(dev.spmv(X[:, i]))
+                      for i in range(k)], axis=1)
+        np.testing.assert_allclose(Y, G, rtol=1e-5, atol=1e-5)
+    assert not dev.spmm_applicable(100_000)
 
 
 def test_fused_device_serialize_roundtrip(tmp_path):
