@@ -64,7 +64,7 @@ def main() -> int:
     lowered = ring_mod._ring_spmv_jit.lower(
         sds(rs.values), sds(rs.meta16), sds(rs.step_window), fin, x,
         mesh=mesh, axis="rows", rows_per_part=rs.rows_per_part, G=rs.G,
-        tiles_per_step=rs.tiles_per_step, n_steps_seg=rs.n_steps_seg,
+        tiles_per_step=rs.tiles_per_step, stage_steps=rs.stage_steps,
         planes=rs.planes, fin_static=rs.fin_static, interpret=False)
     compiled = lowered.compile()
     hlo = compiled.as_text()

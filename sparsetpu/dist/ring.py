@@ -1,23 +1,29 @@
-"""Ring-overlapped distributed SpMV.
+"""Ring-overlapped distributed SpMV (merged-stage layout).
 
 ``spmv_dist.ShardedSpmv`` all-gathers x up front: simple, but the gather
 serializes before compute.  This module implements the BASELINE north-star
 schedule — "x-vector halo segments exchanged via ICI collectives
 (all-gather / permute) overlapped with block-local SpMV": x stays
-column-sharded; at ring step s every shard multiplies the column segment
-it currently holds against its rows' matching column-block pack while the
-segment simultaneously moves to the next shard over ICI (`lax.ppermute`
-inside `lax.scan` — XLA's async collectives let the permute of step s+1
-ride under the Pallas kernel of step s).  Per-segment partial y's are
+column-sharded; at ring stage t every shard multiplies the column segment
+it currently holds against the matching steps of its row-band pack while
+the segment simultaneously moves to the next shard over ICI
+(`lax.ppermute` — XLA's async collectives let the permute of stage t+1
+ride under the Pallas kernel of stage t).  Per-segment partial y's are
 plain vector adds (row-disjoint shards), so no reduction collective is
 needed.
 
-Layout: every (row shard p, column segment s) block is packed
-independently (uniform G / tiles_per_step / step count), stacked on the
-step axis ordered by source segment, and each block gets its own
-fixed-position final level (uniform shapes, same padding scheme as
-spmv_dist._build_shard_finals).  The scan body dynamic-slices the current
-segment's pack out of the shard-local stack.
+Layout (round-4 merge, replacing the r3 per-(shard, segment) packs whose
+padding cost 2-2.5x at P >= 4): each shard's row band is packed ONCE with
+the classic engine — the same stream the all-gather schedule uses, so the
+first-fit fill is global, with no per-block open-tile tails.  The classic
+pack already groups grid steps by aligned column window, and ring
+segments are window-aligned, so the pack's steps are simply REGROUPED by
+segment and laid out in the shard's processing order (segment me+t at
+stage t).  Stage t's step count is static: max over shards of their
+stage-t segment's steps — the only padding left is that per-stage max
+(diagonal jitter), not the old global P^2 max.  Stage offsets are the
+same for every shard, so the scan becomes an unrolled loop of
+static-sliced kernel calls: no dynamic slicing at all.
 """
 
 from __future__ import annotations
@@ -47,15 +53,16 @@ class RingShardedSpmv:
     row_starts: np.ndarray
     rows_per_part: int
     seg_cols: int                  # columns per ring segment (padded)
-    # shard-stacked arrays, leading dim = P; step axis ordered by segment
+    # shard-stacked arrays, leading dim = P; step axis in PROCESSING
+    # order (shard p's stage t = segment (p+t) % P), stage-padded
     values: jax.Array
     meta16: jax.Array              # combined (cell << 7 | route) stream
-    step_window: jax.Array         # (P, P*n_steps_seg)
+    step_window: jax.Array         # (P, total_steps) SEGMENT-LOCAL windows
     G: int
     tiles_per_step: int
-    n_steps_seg: int
+    stage_steps: tuple             # static per-stage step counts
     planes: int                    # chunk-sum planes (8 / pack quantum Q)
-    # per-(shard, segment) finals, padded uniform; leading dims (P, P)
+    # per-(shard, stage) finals, padded uniform; leading dim P, stage-major
     fin_meta: jax.Array
     fin_cell: jax.Array
     fin_route: jax.Array
@@ -80,7 +87,7 @@ class RingShardedSpmv:
             fin, x, mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step,
-            n_steps_seg=self.n_steps_seg, planes=self.planes,
+            stage_steps=self.stage_steps, planes=self.planes,
             fin_static=self.fin_static,
             interpret=self.interpret)
         return _scatter_rows(y, self.row_starts, self.nr_rows)
@@ -88,10 +95,10 @@ class RingShardedSpmv:
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "rows_per_part", "G",
-                                    "tiles_per_step", "n_steps_seg",
+                                    "tiles_per_step", "stage_steps",
                                     "planes", "fin_static", "interpret"))
 def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
-                   axis, rows_per_part, G, tiles_per_step, n_steps_seg,
+                   axis, rows_per_part, G, tiles_per_step, stage_steps,
                    planes, fin_static, interpret):
     from ..kernels.spmv_pallas import (_final_gather_sums,
                                        _gstream_chunk_sums)
@@ -99,73 +106,76 @@ def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
 
     shard_map = functools.partial(jax.shard_map, check_vma=False)
     n_dev = int(np.prod(list(mesh.shape.values())))
-    rows_seg = n_steps_seg * tiles_per_step * CHUNK
+    rps = tiles_per_step * CHUNK
     f_tps, f_G, f_nw, f_S, f_n_out, f_xpad = fin_static
 
     def local(values, meta16, step_window, fin, x_shard):
-        me = jax.lax.axis_index(axis)
         x2 = x_shard.reshape(-1, STRIPE)          # my column segment
 
         fin_meta, fin_cell, fin_route, sp_pos, sp_row = \
             jax.tree.map(lambda a: a[0], fin)
+        k_sp = sp_pos.shape[0] // n_dev if sp_pos is not None else 0
 
-        def body(carry, s):
-            xseg, acc = carry
-            src = jax.lax.rem(me + s, n_dev)      # segment owner
-            w = jax.lax.dynamic_slice_in_dim(step_window[0],
-                                             src * n_steps_seg,
-                                             n_steps_seg, 0)
-            v = jax.lax.dynamic_slice_in_dim(values[0], src * rows_seg,
-                                             rows_seg, 0)
-            mt = jax.lax.dynamic_slice_in_dim(meta16[0], src * rows_seg,
-                                              rows_seg, 0)
-            if interpret == "xla":
-                cs = _chunk_sums_xla(w, xseg, v, mt, G=G, P=planes,
-                                     tiles_per_step=tiles_per_step)
-            else:
-                cs = _gstream_chunk_sums(
-                    w, xseg, v, mt, tiles_per_step=tiles_per_step, G=G,
-                    n_steps=n_steps_seg, P=planes,
-                    interpret=bool(interpret))
-            vec = cs.reshape(-1)
-            fm = jax.lax.dynamic_slice_in_dim(fin_meta, src * f_S, f_S, 0)
-            fc = jax.lax.dynamic_slice_in_dim(
-                fin_cell, src * f_S * f_tps * CHUNK,
-                f_S * f_tps * CHUNK, 0)
-            fr = jax.lax.dynamic_slice_in_dim(
-                fin_route, src * f_S * f_tps * CHUNK,
-                f_S * f_tps * CHUNK, 0)
-            need = f_xpad * STRIPE
-            flat = jnp.pad(vec, (0, max(0, need - vec.shape[0])))[:need]
-            # the final runs interpreted on simulated meshes ("xla" mode
-            # included — it works under shard_map, test_dist proves it)
-            grid = _final_gather_sums(
-                fm, flat.reshape(-1, STRIPE), fc, fr,
-                tiles_per_step=f_tps, G=f_G, n_steps=f_S, nw=f_nw,
-                n_out_tiles=f_n_out,
-                interpret=True if interpret == "xla"
-                else bool(interpret))
-            y_seg = grid.reshape(-1)[:rows_per_part]
-            if sp_pos is not None:
-                k_sp = sp_pos.shape[0] // n_dev
-                pos_s = jax.lax.dynamic_slice_in_dim(sp_pos, src * k_sp,
-                                                     k_sp, 0)
-                row_s = jax.lax.dynamic_slice_in_dim(sp_row, src * k_sp,
-                                                     k_sp, 0)
-                y_seg = y_seg.at[row_s].add(
-                    jnp.take(vec, pos_s, mode="clip"), mode="drop")
-            acc = acc + y_seg
+        acc = jnp.zeros((rows_per_part,), jnp.float32)
+        xseg = x2
+        off = 0
+        # unrolled stages: every slice below is STATIC (the processing-
+        # order layout puts shard p's stage-t segment at the same offset
+        # on every shard), so XLA sees a straight-line program whose
+        # stage-t ppermute can ride under stage-(t-1) compute
+        for t in range(n_dev):
+            St = stage_steps[t]
+            if St:
+                w = jax.lax.slice_in_dim(step_window[0], off, off + St, 1)
+                v = jax.lax.slice_in_dim(values[0], off * rps,
+                                         (off + St) * rps)
+                mt = jax.lax.slice_in_dim(meta16[0], off * rps,
+                                          (off + St) * rps)
+                if interpret == "xla":
+                    cs = _chunk_sums_xla(w, xseg, v, mt, G=G, P=planes,
+                                         tiles_per_step=tiles_per_step)
+                else:
+                    cs = _gstream_chunk_sums(
+                        w, xseg, v, mt, tiles_per_step=tiles_per_step,
+                        G=G, n_steps=St, P=planes,
+                        interpret=bool(interpret))
+                vec = cs.reshape(-1)
+                fm = jax.lax.slice_in_dim(fin_meta, t * f_S,
+                                          (t + 1) * f_S)
+                fc = jax.lax.slice_in_dim(fin_cell,
+                                          t * f_S * f_tps * CHUNK,
+                                          (t + 1) * f_S * f_tps * CHUNK)
+                fr = jax.lax.slice_in_dim(fin_route,
+                                          t * f_S * f_tps * CHUNK,
+                                          (t + 1) * f_S * f_tps * CHUNK)
+                need = f_xpad * STRIPE
+                flat = jnp.pad(vec,
+                               (0, max(0, need - vec.shape[0])))[:need]
+                # the final runs interpreted on simulated meshes ("xla"
+                # mode included — it works under shard_map)
+                grid = _final_gather_sums(
+                    fm, flat.reshape(-1, STRIPE), fc, fr,
+                    tiles_per_step=f_tps, G=f_G, n_steps=f_S, nw=f_nw,
+                    n_out_tiles=f_n_out,
+                    interpret=True if interpret == "xla"
+                    else bool(interpret))
+                y_seg = grid.reshape(-1)[:rows_per_part]
+                if sp_pos is not None:
+                    pos_s = jax.lax.slice_in_dim(sp_pos, t * k_sp,
+                                                 (t + 1) * k_sp)
+                    row_s = jax.lax.slice_in_dim(sp_row, t * k_sp,
+                                                 (t + 1) * k_sp)
+                    y_seg = y_seg.at[row_s].add(
+                        jnp.take(vec, pos_s, mode="clip"), mode="drop")
+                acc = acc + y_seg
             # pass my current segment to the left neighbor; receive from
-            # the right — next iteration I hold segment (me + s + 1)
-            xseg = jax.lax.ppermute(
-                xseg, axis,
-                [(i, (i - 1) % n_dev) for i in range(n_dev)])
-            return (xseg, acc), None
-
-        acc0 = jnp.zeros((rows_per_part,), jnp.float32)
-        (_, y), _ = jax.lax.scan(body, (x2, acc0),
-                                 jnp.arange(n_dev, dtype=jnp.int32))
-        return y[None]
+            # the right — next stage I hold segment (me + t + 1)
+            if t + 1 < n_dev:
+                xseg = jax.lax.ppermute(
+                    xseg, axis,
+                    [(i, (i - 1) % n_dev) for i in range(n_dev)])
+            off += St
+        return acc[None]
 
     spec_m = P(axis)
     return shard_map(local, mesh=mesh,
@@ -178,8 +188,9 @@ def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
 def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                     interpret=False,
                     tiles_per_step: int = 32) -> RingShardedSpmv:
-    """Pack + shard for the ring-overlapped schedule."""
+    """Pack + shard for the ring-overlapped schedule (merged layout)."""
     from ..pack.gather_stream import _choose_layout
+    from ..kernels.spmv_pallas import combine_meta
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
                          if a == axis]))
@@ -188,65 +199,87 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     G, Q = _choose_layout(matrix)
     planes = CHUNK // Q
     W = G * CHUNK * STRIPE
-    seg_cols = -(-matrix.nr_cols // (n_dev * W)) * W
+    blocks_per_seg = -(-matrix.nr_cols // (n_dev * W))
+    seg_cols = blocks_per_seg * W
+    rps = tiles_per_step * CHUNK
 
-    # per-(shard, segment) packs with uniform (G, tps)
-    packs = [[None] * n_dev for _ in range(n_dev)]
-    n_steps_seg = 1
+    # one classic pack per shard (the all-gather schedule's stream);
+    # steps regroup by the ring segment their window belongs to
+    packs = []
+    n_steps_ps = np.zeros((n_dev, n_dev), np.int64)
     for p in range(n_dev):
         r0, r1 = int(part.row_start[p]), int(part.row_end[p])
         sub = _slice_rows(matrix, r0, r1)
-        cols = sub.col_ind.astype(np.int64)
-        rows_of = np.repeat(np.arange(sub.nr_rows, dtype=np.int64),
-                            np.diff(sub.row_ptr).astype(np.int64))
-        seg_of = cols // seg_cols
-        for s in range(n_dev):
-            msk = seg_of == s
-            block = CSRMatrix.from_coo(
-                rows_of[msk], cols[msk] - s * seg_cols,
-                sub.values[msk].astype(np.float32),
-                sub.nr_rows, seg_cols)
-            pk = pack_gstream(block, tiles_per_step=tiles_per_step, G=G,
-                              Q=Q, shuffle_lanes=True)
-            assert pk.G == G and pk.tiles_per_step == tiles_per_step
-            packs[p][s] = pk
-            n_steps_seg = max(n_steps_seg, pk.n_steps)
+        if p == 0:
+            pk = pack_gstream(sub, G=G, Q=Q,
+                              tiles_per_step=tiles_per_step,
+                              shuffle_lanes=True)
+        else:
+            pk = pack_gstream(sub, G=packs[0].G, Q=packs[0].Q,
+                              tiles_per_step=tiles_per_step,
+                              shuffle_lanes=True)
+        assert pk.G == G and pk.tiles_per_step == tiles_per_step
+        packs.append(pk)
+        seg_of_step = pk.step_window // blocks_per_seg
+        # an empty pack emits one all-pad step with window 0: count it
+        # for segment 0 (zero values -> harmless)
+        n_steps_ps[p] = np.bincount(seg_of_step, minlength=n_dev)
 
-    # pad packs to uniform steps, build per-block finals (pinned config)
-    def pad_steps(a, per_step_rows, fill=0):
-        cur = a.shape[0] // per_step_rows
-        if cur == n_steps_seg:
-            return a
-        padshape = ((n_steps_seg - cur) * per_step_rows,) + a.shape[1:]
-        return np.concatenate([a, np.full(padshape, fill, a.dtype)],
-                              axis=0)
+    # static per-stage step counts: stage t = segment (p + t) % P
+    stage_steps = tuple(
+        int(max(n_steps_ps[p][(p + t) % n_dev] for p in range(n_dev)))
+        for t in range(n_dev))
+    total_steps = max(sum(stage_steps), 1)
+
+    vals, metas, winds, rowmaps = [], [], [], []
+    for p in range(n_dev):
+        pk = packs[p]
+        seg_of_step = pk.step_window // blocks_per_seg
+        cr = pk.chunk_row.copy()
+        cr[cr == pk.nr_rows] = rows_per_part
+        m16 = combine_meta(pk.cell_idx, pk.route)
+        pv, pm, pw = [], [], []
+        for t in range(n_dev):
+            seg = (p + t) % n_dev
+            St = stage_steps[t]
+            sel = np.flatnonzero(seg_of_step == seg)
+            # the classic pack lists windows in ascending order, so a
+            # segment's steps are contiguous — but select defensively
+            el = (sel[:, None] * rps + np.arange(rps)[None, :]).reshape(-1)
+            cl = (sel[:, None] * (tiles_per_step * planes)
+                  + np.arange(tiles_per_step * planes)[None, :]).reshape(-1)
+            v = pk.values[el] if sel.size else \
+                np.zeros((0, STRIPE), pk.values.dtype)
+            mm = m16[el] if sel.size else np.zeros((0, STRIPE), m16.dtype)
+            w = (pk.step_window[sel] - seg * blocks_per_seg
+                 ).astype(np.int32)
+            rm = cr[cl] if sel.size else np.zeros((0, STRIPE), cr.dtype)
+            pad_s = St - sel.size
+            if pad_s:
+                v = np.concatenate(
+                    [v, np.zeros((pad_s * rps, STRIPE), v.dtype)])
+                mm = np.concatenate(
+                    [mm, np.zeros((pad_s * rps, STRIPE), mm.dtype)])
+                w = np.concatenate([w, np.zeros(pad_s, np.int32)])
+                rm = np.concatenate(
+                    [rm, np.full((pad_s * tiles_per_step * planes,
+                                  STRIPE), rows_per_part, rm.dtype)])
+            pv.append(v)
+            pm.append(mm)
+            pw.append(w)
+            rowmaps.append(rm)
+        vals.append(np.concatenate(pv, axis=0) if pv else
+                    np.zeros((total_steps * rps, STRIPE), np.float32))
+        metas.append(np.concatenate(pm, axis=0))
+        winds.append(np.concatenate(pw))
 
     from .spmv_dist import _build_shard_finals
-    from ..kernels.spmv_pallas import combine_meta
-    rowmaps = []
-    vals, metas, winds = [], [], []
-    for p in range(n_dev):
-        pv, pm, pw = [], [], []
-        for s in range(n_dev):
-            pk = packs[p][s]
-            pv.append(pad_steps(pk.values, tiles_per_step * CHUNK))
-            pm.append(pad_steps(combine_meta(pk.cell_idx, pk.route),
-                                tiles_per_step * CHUNK))
-            pw.append(pad_steps(pk.step_window, 1))
-            cr = pk.chunk_row.copy()
-            cr[cr == pk.nr_rows] = rows_per_part
-            rowmaps.append(pad_steps(cr, tiles_per_step * planes,
-                                     fill=rows_per_part))
-        vals.append(np.concatenate(pv, axis=0))
-        metas.append(np.concatenate(pm, axis=0))
-        winds.append(np.concatenate(pw, axis=0))
-
     fin_arrays, fin_static = _build_shard_finals(rowmaps, rows_per_part)
     if fin_static is None:
         raise NotImplementedError(
             "ring schedule requires the final level; pathological "
             "placement — use shard_spmv instead")
-    # reshape finals (P*P, ...) -> per shard concat over segments
+    # reshape finals (P*P, ...) -> per shard concat over stages
     fm, fc, fr, sp, sr = fin_arrays
     fm2 = fm.reshape(n_dev, n_dev * fm.shape[1], fm.shape[2])
     fc2 = fc.reshape(n_dev, n_dev * fc.shape[1], fc.shape[2])
@@ -263,7 +296,7 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         seg_cols=seg_cols,
         values=dev(np.stack(vals)), meta16=dev(np.stack(metas)),
         step_window=dev(np.stack(winds)),
-        G=G, tiles_per_step=tiles_per_step, n_steps_seg=n_steps_seg,
+        G=G, tiles_per_step=tiles_per_step, stage_steps=stage_steps,
         planes=planes,
         fin_meta=dev(fm2), fin_cell=dev(fc2), fin_route=dev(fr2),
         fin_spill_pos=dev(sp2) if sp2 is not None else None,

@@ -310,6 +310,50 @@ def shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         fin_static=fin_static)
 
 
+# ICI per-link bandwidth (GB/s, v5e ring); HBM_GBPS lives in bench.harness
+_ICI_GBPS = 45.0
+
+
+def choose_schedule(matrix: CSRMatrix, n_dev: int,
+                    hbm_gbps: float = 819.0) -> str:
+    """Pick "ring" vs "allgather" by modeled cost (VERDICT r3 item 4).
+
+    The all-gather serializes moving (P-1)/P of x over ICI before any
+    compute; the ring hides each segment transfer under the previous
+    stage's kernel.  Ring wins when the hidden transfer time exceeds its
+    padding overhead (~8% of stream bytes at the merged layout's
+    measured fill ratio >= 0.9) AND each stage's compute actually covers
+    its segment transfer."""
+    if n_dev < 2:
+        return "allgather"
+    x_bytes = matrix.nr_cols * 4
+    comm_ag = (n_dev - 1) / n_dev * x_bytes / (_ICI_GBPS * 1e9)
+    stream_bytes = matrix.nr_nzeros / 0.6 * 6      # fill-0.6 estimate
+    compute = stream_bytes / (hbm_gbps * 1e9) / n_dev
+    ring_pad = 0.10 * compute                      # merged-layout pad
+    stage_comm = x_bytes / n_dev / (_ICI_GBPS * 1e9)
+    if comm_ag > ring_pad and compute / n_dev >= stage_comm:
+        return "ring"
+    return "allgather"
+
+
+def shard_spmv_auto(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
+                    interpret=False):
+    """Pack + shard with the modeled-cost schedule choice: the ring-
+    overlapped layout when hiding the x exchange pays, the plain
+    all-gather otherwise."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                         if a == axis]))
+    if choose_schedule(matrix, n_dev) == "ring":
+        from .ring import ring_shard_spmv
+        try:
+            return ring_shard_spmv(matrix, mesh, axis=axis,
+                                   interpret=interpret)
+        except NotImplementedError:
+            pass                    # pathological placement: all-gather
+    return shard_spmv(matrix, mesh, axis=axis, interpret=interpret)
+
+
 def _build_shard_finals(rowmaps, rows_per_part):
     """Per-shard fixed-position finals, pinned to a common configuration
     and padded to uniform shapes (extra steps write zeros to a dedicated
