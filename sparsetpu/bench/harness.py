@@ -53,6 +53,7 @@ class BenchResult:
     gold_ms: float
     scan_ms: float
     pack_ms: float
+    compile_ms: float
     kernel_ms: float
     finish_ms: float
     total_ms: float
@@ -74,6 +75,7 @@ class BenchResult:
             f"SW (gold) execution time {self.gold_ms:.3f} msec",
             f"Scan matrix time {self.scan_ms:.3f} msec",
             f"Matrix repack time {self.pack_ms:.3f} msec",
+            f"Compile + upload time {self.compile_ms:.3f} msec",
             f"HW (kernel) execution time {self.kernel_ms:.3f} msec",
             f"Results accumulation time {self.finish_ms:.3f} msec",
             f"Total SpMV time {self.total_ms:.3f} msec",
@@ -109,11 +111,16 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         scan_matrix(matrix, cfg)
 
     with timer.phase("pack"):
+        # host repack ONLY (the reference's timed phase, main.cpp:67-72);
+        # XLA compile + device upload are a separate one-time cost and
+        # get their own phase — folding them in overstated pack_ms by
+        # the 20-40 s first-compile through the device tunnel
         if autotune and backend in ("pallas", "fused") and not cfg.is_double:
             from ..api.autotune import autotune_pack
             sm = autotune_pack(matrix)
         else:
             sm = SparseMatrix(matrix, cfg, backend=backend)
+    with timer.phase("compile"):
         xp = sm.prepare_x(x)
         jax.block_until_ready(sm.spmv_packed_x(xp))  # compile + upload
     y = np.asarray(sm.spmv_packed_x(xp))
@@ -192,6 +199,9 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
                 interpret=op.interpret)
         kernel_s = measure(kernel_only, sm._device, xp)
         finish_s = max(total_s - kernel_s, 0.0)
+    elif is_double and not hasattr(sm._device, "step_window"):
+        # fused df64 device: whole spmv is one kernel (no split phases)
+        kernel_s, finish_s = total_s, 0.0
     elif is_double:
         from ..kernels.f64emu import _df64_chunk_sums
 
@@ -223,7 +233,7 @@ def bench_spmv(matrix: CSRMatrix, name: str = "random",
         matrix=name, nr_rows=matrix.nr_rows, nr_cols=matrix.nr_cols,
         nr_nzeros=nnz,
         gold_ms=timer.ms("gold"), scan_ms=timer.ms("scan"),
-        pack_ms=timer.ms("pack"),
+        pack_ms=timer.ms("pack"), compile_ms=timer.ms("compile"),
         kernel_ms=kernel_s * 1e3, finish_ms=finish_s * 1e3,
         total_ms=total_s * 1e3,
         data_mb=data_mb,

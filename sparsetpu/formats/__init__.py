@@ -6,7 +6,8 @@ from .io import CSRHeader, read_csr_header, read_matrix, write_matrix
 from .gold import (DIFF_THRES, bsr_spmv_gold, default_tolerance, spgemm_gold,
                    spmm_gold, spmv_gold, verification)
 from .convert import bsr_to_csr, coo_to_csr, csr_to_bsr, csr_to_coo
-from .random import banded_csr, laplace_2d, random_csr
+from .random import (banded_csr, circuit_netlist, fem_poisson_3d,
+                     laplace_2d, random_csr, shell_3d)
 
 __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DenseVector", "INDEX_DTYPE",
@@ -14,5 +15,6 @@ __all__ = [
     "read_matrix", "write_matrix", "DIFF_THRES", "bsr_spmv_gold",
     "default_tolerance", "spgemm_gold", "spmm_gold", "spmv_gold",
     "verification", "bsr_to_csr", "coo_to_csr", "csr_to_bsr", "csr_to_coo",
-    "banded_csr", "laplace_2d", "random_csr",
+    "banded_csr", "circuit_netlist", "fem_poisson_3d",
+    "laplace_2d", "random_csr", "shell_3d",
 ]

@@ -427,6 +427,49 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows, direct=False):
                                    direct=direct)
 
 
+SAMPLE_NNZ = 160_000          # Q-chooser candidate packs run on a sample
+SAMPLE_BANDS = 8
+
+
+def _sample_rows(matrix: CSRMatrix, target_nnz: int = SAMPLE_NNZ,
+                 bands: int = SAMPLE_BANDS) -> CSRMatrix:
+    """A small stand-in matrix made of ``bands`` contiguous row bands
+    spread evenly through the matrix, totalling ~``target_nnz`` nnz.
+    Used to COST candidate layouts without packing the full matrix per
+    candidate (the reference's repack is a fixed two-pass phase,
+    main.cpp:67-72 — the chooser must not multiply it)."""
+    nr = matrix.nr_rows
+    rp = matrix.row_ptr.astype(np.int64)
+    per_band = max(target_nnz // bands, 1)
+    ptr_parts = [np.zeros(1, np.int64)]
+    ci_parts, v_parts = [], []
+    off = 0
+    for b in range(bands):
+        r0 = (nr * b) // bands
+        # extend the band until it holds per_band nnz (or hits the next
+        # band's start region)
+        r1 = int(np.searchsorted(rp, rp[r0] + per_band, side="left"))
+        r1 = min(max(r1, r0 + 1), nr)
+        lo, hi = int(rp[r0]), int(rp[r1])
+        ptr_parts.append(rp[r0 + 1:r1 + 1] - lo + off)
+        ci_parts.append(matrix.col_ind[lo:hi])
+        v_parts.append(matrix.values[lo:hi])
+        off += hi - lo
+    return CSRMatrix(
+        np.concatenate(ptr_parts).astype(matrix.row_ptr.dtype),
+        np.concatenate(ci_parts) if ci_parts else
+        np.zeros(0, matrix.col_ind.dtype),
+        np.concatenate(v_parts) if v_parts else
+        np.zeros(0, matrix.values.dtype),
+        int(sum(p.shape[0] for p in ptr_parts) - 1), matrix.nr_cols)
+
+
+def _layout_cost(c: "FusedMatrix") -> float:
+    """Per-nnz total slot cost (forward + finish streams)."""
+    return (c.n_slots + (c.fin1_i1.shape[0] + c.fin2_i1.shape[0])
+            * LANES) / max(c.nr_nzeros, 1)
+
+
 def _choose_q(matrix: CSRMatrix, GLW: int) -> int:
     """Pick the row-pad quantum by the matrix's chunk-run length: the
     mean number of consecutive nnz a row keeps inside one GLW window.
@@ -468,22 +511,45 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         Q = _choose_q(matrix, GLW)
         if Q < 8:
             # scattered regime: the padding / matcher-occupancy / finish
-            # trade is structure-sensitive, so pack the candidates and
-            # keep the cheapest by total slot count (packs here are
-            # sub-second: these matrices are small by construction)
-            best = None
-            for qc in (1, 2, 8):
+            # trade is structure-sensitive, so COST the candidates and
+            # pack the cheapest.  Small matrices pack all three fully;
+            # larger ones cost each candidate on a row-band SAMPLE and
+            # full-pack only the winner (one repack pass, not three —
+            # the webbase-class chooser was 3x3 full packs before)
+            cands = (1, 2, 8)
+            if nnz <= 2 * SAMPLE_NNZ:
+                best = None
+                for qc in cands:
+                    cand = pack_fused(matrix, Q=qc, GLW=GLW, T=T,
+                                      value_dtype=value_dtype,
+                                      use_native=use_native, slack=slack,
+                                      slab_steps=slab_steps)
+                    if cand is None:
+                        continue
+                    cost = _layout_cost(cand)
+                    if best is None or cost < best[0]:
+                        best = (cost, cand)
+                return best[1] if best else None
+            sample = _sample_rows(matrix)
+            scored = []
+            for qc in cands:
+                sc = pack_fused(sample, Q=qc, GLW=GLW, T=T,
+                                value_dtype=value_dtype,
+                                use_native=use_native, slack=slack,
+                                slab_steps=slab_steps)
+                scored.append((_layout_cost(sc) if sc is not None
+                               else float("inf"), qc))
+            scored.sort()
+            for cost, qc in scored:
+                if cost == float("inf"):
+                    continue
                 cand = pack_fused(matrix, Q=qc, GLW=GLW, T=T,
                                   value_dtype=value_dtype,
                                   use_native=use_native, slack=slack,
                                   slab_steps=slab_steps)
-                if cand is None:
-                    continue
-                cost = (cand.n_slots + (cand.fin1_i1.shape[0]
-                                        + cand.fin2_i1.shape[0]) * LANES)
-                if best is None or cost < best[0]:
-                    best = (cost, cand)
-            return best[1] if best else None
+                if cand is not None:
+                    return cand
+            return None
     P = CHUNK // Q
     # global finish shape: scattered matrices (rows with < ~3 chunks)
     # skip stage 1 everywhere (the kernel picks one stage-2 source)
