@@ -59,10 +59,13 @@ def main() -> int:
     fin = tuple(sds(a) if a is not None else None
                 for a in (rs.fin_meta, rs.fin_cell, rs.fin_route,
                           rs.fin_spill_pos, rs.fin_spill_row))
-    x = jax.ShapeDtypeStruct((rs.seg_cols * n_dev,), np.float32,
-                             sharding=sh)
+    xi = (jax.ShapeDtypeStruct(rs.x_index.shape, rs.x_index.dtype)
+          if rs.x_index is not None else None)
+    # spmv passes the RAW x; pad/segment-gather happen inside the jit
+    x = jax.ShapeDtypeStruct((rs.nr_cols,), np.float32)
     lowered = ring_mod._ring_spmv_jit.lower(
-        sds(rs.values), sds(rs.meta16), sds(rs.step_window), fin, x,
+        sds(rs.values), sds(rs.meta16), sds(rs.step_window), fin, x, xi,
+        n_cols=rs.nr_cols, seg_cols=rs.seg_cols,
         mesh=mesh, axis="rows", rows_per_part=rs.rows_per_part, G=rs.G,
         tiles_per_step=rs.tiles_per_step, stage_steps=rs.stage_steps,
         planes=rs.planes, fin_static=rs.fin_static, interpret=False)

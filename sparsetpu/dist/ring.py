@@ -69,6 +69,10 @@ class RingShardedSpmv:
     fin_spill_pos: Optional[jax.Array]
     fin_spill_row: Optional[jax.Array]
     fin_static: tuple              # (tps, G, nw, S, n_out, xpad)
+    # non-None when segment widths are unequal (nnz-balanced contiguous
+    # boundaries): maps position s*seg_cols + j -> source column (pads
+    # point at the trailing zero sentinel)
+    x_index: Optional[jax.Array] = None
     interpret: bool = False
 
     @property
@@ -77,14 +81,13 @@ class RingShardedSpmv:
 
     def spmv(self, x) -> jax.Array:
         x = jnp.asarray(x, dtype=jnp.float32)
-        pad = self.seg_cols * self.num_partitions - self.nr_cols
-        if pad:
-            x = jnp.pad(x, (0, pad))
         fin = (self.fin_meta, self.fin_cell, self.fin_route,
                self.fin_spill_pos, self.fin_spill_row)
         y = _ring_spmv_jit(
             self.values, self.meta16, self.step_window,
-            fin, x, mesh=self.mesh, axis=self.axis,
+            fin, x, self.x_index,
+            n_cols=self.nr_cols, seg_cols=self.seg_cols,
+            mesh=self.mesh, axis=self.axis,
             rows_per_part=self.rows_per_part, G=self.G,
             tiles_per_step=self.tiles_per_step,
             stage_steps=self.stage_steps, planes=self.planes,
@@ -94,14 +97,25 @@ class RingShardedSpmv:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "axis", "rows_per_part", "G",
+                   static_argnames=("n_cols", "seg_cols",
+                                    "mesh", "axis", "rows_per_part", "G",
                                     "tiles_per_step", "stage_steps",
                                     "planes", "fin_static", "interpret"))
-def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
+def _ring_spmv_jit(values, meta16, step_window, fin, x, x_index, *,
+                   n_cols, seg_cols, mesh,
                    axis, rows_per_part, G, tiles_per_step, stage_steps,
                    planes, fin_static, interpret):
     from ..kernels.spmv_pallas import (_final_gather_sums,
                                        _gstream_chunk_sums)
+    if x_index is not None:
+        # unequal segment widths: lay x out as concat of padded segments
+        x = jnp.take(jnp.concatenate([x, jnp.zeros(1, x.dtype)]), x_index)
+    else:
+        n_dev_x = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                               if a == axis]))
+        pad = seg_cols * n_dev_x - n_cols
+        if pad:
+            x = jnp.pad(x, (0, pad))
     from .spmv_dist import _chunk_sums_xla
 
     shard_map = functools.partial(jax.shard_map, check_vma=False)
@@ -185,6 +199,39 @@ def _ring_spmv_jit(values, meta16, step_window, fin, x, *, mesh,
         values, meta16, step_window, fin, x)
 
 
+def _balance_contiguous(weights: np.ndarray, k: int) -> np.ndarray:
+    """Boundaries (len k+1) of a contiguous partition of ``weights``
+    into k groups minimizing the max group sum (binary search + greedy
+    feasibility).  Trailing groups may be empty."""
+    w = np.asarray(weights, np.int64)
+    lo, hi = int(w.max(initial=0)), int(w.sum())
+    while lo < hi:
+        mid = (lo + hi) // 2
+        groups, run = 1, 0
+        for v in w:
+            if run + v > mid:
+                groups += 1
+                run = int(v)
+            else:
+                run += int(v)
+        if groups <= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    bounds = [0]
+    run = 0
+    for i, v in enumerate(w):
+        if run + v > lo and len(bounds) < k:
+            bounds.append(i)
+            run = int(v)
+        else:
+            run += int(v)
+    while len(bounds) < k:
+        bounds.append(len(w))
+    bounds.append(len(w))
+    return np.asarray(bounds, np.int64)
+
+
 def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                     interpret=False,
                     tiles_per_step: int = 32) -> RingShardedSpmv:
@@ -199,7 +246,17 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     G, Q = _choose_layout(matrix)
     planes = CHUNK // Q
     W = G * CHUNK * STRIPE
-    blocks_per_seg = -(-matrix.nr_cols // (n_dev * W))
+    nblocks = -(-matrix.nr_cols // W)
+    # nnz-BALANCED contiguous segment boundaries (in whole W windows):
+    # the stage cost is max-over-shards, so any nnz imbalance between
+    # segments taxes EVERY ring stage; pigeonhole still floors the
+    # imbalance at ceil(nblocks/P)/(nblocks/P) — choose_schedule models
+    # exactly this, so the ring is only picked where it genuinely wins
+    blk_nnz = np.bincount(
+        np.minimum(matrix.col_ind // W, nblocks - 1), minlength=nblocks)
+    seg_bounds = _balance_contiguous(blk_nnz, n_dev)
+    seg_nblocks = np.diff(seg_bounds)
+    blocks_per_seg = int(max(seg_nblocks.max(), 1))
     seg_cols = blocks_per_seg * W
     rps = tiles_per_step * CHUNK
 
@@ -220,9 +277,10 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
                               shuffle_lanes=True)
         assert pk.G == G and pk.tiles_per_step == tiles_per_step
         packs.append(pk)
-        seg_of_step = pk.step_window // blocks_per_seg
+        seg_of_step = np.searchsorted(seg_bounds, pk.step_window,
+                                      side="right") - 1
         # an empty pack emits one all-pad step with window 0: count it
-        # for segment 0 (zero values -> harmless)
+        # for the segment holding block 0 (zero values -> harmless)
         n_steps_ps[p] = np.bincount(seg_of_step, minlength=n_dev)
 
     # static per-stage step counts: stage t = segment (p + t) % P
@@ -234,7 +292,8 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     vals, metas, winds, rowmaps = [], [], [], []
     for p in range(n_dev):
         pk = packs[p]
-        seg_of_step = pk.step_window // blocks_per_seg
+        seg_of_step = np.searchsorted(seg_bounds, pk.step_window,
+                                      side="right") - 1
         cr = pk.chunk_row.copy()
         cr[cr == pk.nr_rows] = rows_per_part
         m16 = combine_meta(pk.cell_idx, pk.route)
@@ -251,7 +310,7 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
             v = pk.values[el] if sel.size else \
                 np.zeros((0, STRIPE), pk.values.dtype)
             mm = m16[el] if sel.size else np.zeros((0, STRIPE), m16.dtype)
-            w = (pk.step_window[sel] - seg * blocks_per_seg
+            w = (pk.step_window[sel] - int(seg_bounds[seg])
                  ).astype(np.int32)
             rm = cr[cl] if sel.size else np.zeros((0, STRIPE), cr.dtype)
             pad_s = St - sel.size
@@ -287,6 +346,17 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
     sp2 = sp.reshape(n_dev, -1) if sp is not None else None
     sr2 = sr.reshape(n_dev, -1) if sr is not None else None
 
+    x_index = None
+    if not np.all(seg_nblocks == blocks_per_seg):
+        # unequal widths: position s*seg_cols + j reads source column
+        # seg_bounds[s]*W + j (pads -> the appended zero sentinel)
+        j = np.arange(seg_cols, dtype=np.int64)
+        src = (seg_bounds[:n_dev, None] * W + j[None, :])
+        valid = j[None, :] < seg_nblocks[:, None] * W
+        src = np.where(valid & (src < matrix.nr_cols), src,
+                       matrix.nr_cols)
+        x_index = jnp.asarray(src.reshape(-1).astype(np.int32))
+
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(jnp.asarray(a), sharding)
     return RingShardedSpmv(
@@ -301,4 +371,4 @@ def ring_shard_spmv(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
         fin_meta=dev(fm2), fin_cell=dev(fc2), fin_route=dev(fr2),
         fin_spill_pos=dev(sp2) if sp2 is not None else None,
         fin_spill_row=dev(sr2) if sr2 is not None else None,
-        fin_static=fin_static, interpret=interpret)
+        fin_static=fin_static, x_index=x_index, interpret=interpret)

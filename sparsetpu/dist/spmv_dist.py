@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.csr import CSRMatrix
 from ..pack.balance import balance_rows
-from ..pack.gather_stream import GStreamMatrix, pack_gstream, STRIPE
+from ..pack.gather_stream import CHUNK, GStreamMatrix, pack_gstream, STRIPE
 from ..utils.config import SpmvConfig
 
 
@@ -320,21 +320,51 @@ def choose_schedule(matrix: CSRMatrix, n_dev: int,
 
     The all-gather serializes moving (P-1)/P of x over ICI before any
     compute; the ring hides each segment transfer under the previous
-    stage's kernel.  Ring wins when the hidden transfer time exceeds its
-    padding overhead (~8% of stream bytes at the merged layout's
-    measured fill ratio >= 0.9) AND each stage's compute actually covers
-    its segment transfer."""
+    stage's kernel — but pays a staged-padding tax: stage t runs at the
+    max over shards of their stage-t segment's work, so any nnz
+    imbalance between (shard, segment) cells taxes every stage (and a
+    pigeonhole floor of ceil(nblocks/P)/(nblocks/P) applies when the
+    column count is small in window units).  That tax is computable
+    EXACTLY from the (shard, segment) nnz matrix under the ring's own
+    nnz-balanced contiguous segment boundaries — no packing needed —
+    so the chooser predicts it instead of guessing."""
     if n_dev < 2:
         return "allgather"
+    from ..pack.gather_stream import _choose_layout
+    from .ring import _balance_contiguous
+
+    G, _ = _choose_layout(matrix)
+    W = G * CHUNK * STRIPE
+    nblocks = -(-matrix.nr_cols // W)
+    blk = np.bincount(np.minimum(matrix.col_ind // W, nblocks - 1),
+                      minlength=nblocks)
+    bounds = _balance_contiguous(blk, n_dev)
+    part = balance_rows(matrix, n_dev)
+    rn = np.diff(matrix.row_ptr.astype(np.int64))
+    shard_of_row = np.searchsorted(part.row_end, np.arange(matrix.nr_rows),
+                                   side="right")
+    el_shard = np.repeat(shard_of_row, rn)
+    el_seg = np.searchsorted(
+        bounds, np.minimum(matrix.col_ind // W, nblocks - 1),
+        side="right") - 1
+    w2 = np.bincount(el_shard * n_dev + el_seg,
+                     minlength=n_dev * n_dev).reshape(n_dev, n_dev)
+    staged = sum(int(max(w2[p][(p + t) % n_dev] for p in range(n_dev)))
+                 for t in range(n_dev))
+    ideal = w2.sum() / n_dev
+    pad_ratio = staged / max(ideal, 1.0)
+
     x_bytes = matrix.nr_cols * 4
-    comm_ag = (n_dev - 1) / n_dev * x_bytes / (_ICI_GBPS * 1e9)
     stream_bytes = matrix.nr_nzeros / 0.6 * 6      # fill-0.6 estimate
-    compute = stream_bytes / (hbm_gbps * 1e9) / n_dev
-    ring_pad = 0.10 * compute                      # merged-layout pad
+    compute = stream_bytes / (hbm_gbps * 1e9) / n_dev   # per-device total
     stage_comm = x_bytes / n_dev / (_ICI_GBPS * 1e9)
-    if comm_ag > ring_pad and compute / n_dev >= stage_comm:
-        return "ring"
-    return "allgather"
+    # +5% step quantization on top of the exact nnz staged-pad ratio
+    stage_comp = compute * (pad_ratio + 0.05) / n_dev
+    # the ring pipelines: each stage's segment transfer rides under the
+    # previous stage's compute (or vice versa when comm-bound)
+    ring_time = (n_dev - 1) * max(stage_comm, stage_comp) + stage_comp
+    ag_time = (n_dev - 1) * stage_comm + compute
+    return "ring" if ring_time < 0.95 * ag_time else "allgather"
 
 
 def shard_spmv_auto(matrix: CSRMatrix, mesh: Mesh, axis: str = "rows",
