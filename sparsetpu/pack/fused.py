@@ -490,7 +490,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                GLW: int = DEF_GLW,
                T: Optional[int] = None, value_dtype=np.float32,
                use_native: bool = True, slack: float = 0.93,
-               slab_steps: int = 12) -> Optional[FusedMatrix]:
+               slab_steps: int = 12,
+               band_exact: Optional[bool] = None) -> Optional[FusedMatrix]:
     """Pack a CSR matrix into the fused resident-x layout.  Returns None
     when the layout does not apply (x too large for VMEM, pathological
     finish, heavy rows) — callers fall back to the classic GStream path.
@@ -598,6 +599,37 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # step) small
         T = min(T, max(128 // P, 8))
         slab_steps = min(slab_steps, 2)
+    if band_exact is None and Q == 8 and not fin_direct:
+        # step-exact row bands trade forward fill for per-step finish
+        # size; the kernel's cost is n_steps*(T + F1 + F2) tiles either
+        # way, so COST both band policies (the Q-chooser pattern) and
+        # keep the cheaper.  Wide-column few-row matrices (bands forced
+        # to ~GX/GLW near-empty window tiles) fail band packing
+        # outright -> fall back to False.  T is pinned FIRST and the
+        # sample's bands sized to ~2.5 grid steps each — a band-exact
+        # step is T*cpt chunks, so undersized sample bands would drown
+        # the comparison in step padding that the full pack never pays.
+        kw2 = dict(Q=Q, GLW=GLW, T=T, value_dtype=value_dtype,
+                   use_native=use_native, slack=slack,
+                   slab_steps=slab_steps)
+        mean_len = nnz / max(c_start.shape[0], 1)
+        band_nnz = int(2.5 * T * cpt * mean_len)
+        if nnz <= 3 * band_nnz:
+            a = pack_fused(matrix, band_exact=False, **kw2)
+            b = pack_fused(matrix, band_exact=True, **kw2)
+            if b is None or a is None:
+                return a if b is None else b
+            return b if _layout_cost(b) <= _layout_cost(a) else a
+        sample = _sample_rows(matrix, target_nnz=3 * band_nnz, bands=3)
+        sa = pack_fused(sample, band_exact=False, **kw2)
+        sb = pack_fused(sample, band_exact=True, **kw2)
+        band_exact = bool(sb is not None
+                          and (sa is None or _layout_cost(sb)
+                               <= _layout_cost(sa)))
+        out = pack_fused(matrix, band_exact=band_exact, **kw2)
+        if out is None and band_exact:
+            out = pack_fused(matrix, band_exact=False, **kw2)
+        return out
     scr_rows = T * P
     cpr = np.bincount(c_row, minlength=nr_rows)
     cpr_cum = np.concatenate([[0], np.cumsum(cpr)])
@@ -647,8 +679,15 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
             target = cpr_cum[r] + est_cpb
             nr = int(np.searchsorted(cpr_cum, target, side="right")) - 1
             nr = min(max(nr, r + 1), r1)
+            # aim the band at EXACTLY T tiles: every tile short of T is
+            # a fully padded (8, 128) slot block the kernel still runs
+            # (measured on the headline: undershooting bands by ~13%
+            # cost the ENTIRE fill advantage of tight banding) — so
+            # grow undershooting bands as well as shrinking overflows,
+            # bisection-bounded
             packed = None
-            for _ in range(3):
+            nr_hi = r1 + 1            # smallest nr known to overflow T
+            for _ in range(6):
                 lo, hi = int(row_ptr64[r]), int(row_ptr64[nr])
                 if lo == hi:
                     break
@@ -662,9 +701,23 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                     slab_rows=0, lane_shuffle=lane_mode)
                 nt = out[4].shape[0]
                 if nt <= T:
-                    packed = out
-                    break
-                nr = r + max(1, int((nr - r) * T / nt * 0.93))
+                    if packed is None or nr > packed[1]:
+                        packed = (out, nr)
+                    if nt >= int(T * 0.985) or nr >= r1:
+                        break
+                    grown = r + max(int((nr - r) * T / max(nt, 1)),
+                                    nr - r + 1)
+                    nr = min(max(grown, nr + 1), r1, nr_hi - 1)
+                    if nr <= packed[1]:
+                        break
+                else:
+                    nr_hi = min(nr_hi, nr)
+                    nr = r + max(1, int((nr - r) * T / nt * 0.93))
+                    nr = min(nr, nr_hi - 1)
+                    if packed is not None and nr <= packed[1]:
+                        break
+            if packed is not None:
+                packed, nr = packed
             if int(row_ptr64[r]) == int(row_ptr64[nr]):
                 r = nr
                 continue
@@ -707,6 +760,13 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         if Q < 8 and not fin_direct:
             return pack_slab_scatter(
                 r0, r1, 2 + SCATTER_LANE_KEYS.bit_length() - 1)
+        if band_exact and not fin_direct:
+            # step-exact row bands for the DENSE regime too: rows
+            # touched per step collapse to the band (measured 4416 ->
+            # ~rows/step on the headline), shrinking the per-step
+            # stage-1/2 finish at a forward-fill cost the caller opts
+            # into (the kernel's cost is n_steps*(T + F1 + F2) tiles)
+            return pack_slab_scatter(r0, r1, 1)
         rows_loc = (np.repeat(np.arange(r0, r1, dtype=np.int64),
                               np.diff(row_ptr64[r0:r1 + 1]))
                     - r0).astype(np.int32)

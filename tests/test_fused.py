@@ -343,3 +343,36 @@ def test_pytree_reconstructed_unpack_raises():
     sm2 = jax.tree_util.tree_unflatten(treedef, leaves)
     with pytest.raises(ValueError, match="source CSR"):
         sm2.unpack()
+
+
+def test_band_exact_matches_gold():
+    """Step-exact row bands for the dense (Q=8) regime: same kernel,
+    tighter per-step finish (rows touched per step collapse to the
+    band).  Must be bit-compatible with the layout contract."""
+    m = random_csr(12_000, 10_000, density=0.002, seed=11)
+    p = pack_fused(m, band_exact=True)
+    assert p is not None and p.Q == 8
+    _check(m, p)
+
+
+def test_band_chooser_picks_cheaper_policy():
+    """band_exact=None costs both band policies and keeps the cheaper
+    one (kernel cost = n_steps * (T + F1 + F2) tiles)."""
+    from sparsetpu.pack.fused import _layout_cost
+    m = random_csr(12_000, 10_000, density=0.002, seed=11)
+    auto = pack_fused(m)
+    a = pack_fused(m, band_exact=False)
+    b = pack_fused(m, band_exact=True)
+    costs = [_layout_cost(c) for c in (a, b) if c is not None]
+    assert auto is not None
+    assert _layout_cost(auto) <= min(costs) + 1e-9
+
+
+def test_band_exact_wide_columns_falls_back():
+    """Wide-column few-row matrices starve band packing (every band
+    pays ~GX/GLW near-empty window tiles); the auto chooser must fall
+    back to the unbanded pack instead of failing."""
+    m = random_csr(3000, 150_000, density=0.0008, seed=5)
+    auto = pack_fused(m)
+    assert auto is not None
+    _check(m, auto)
