@@ -393,15 +393,18 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
   long long tile_counter = 0;
   ChunkMatcher m;
   m.q = q;
+  auto push_done = [&](Tile* t) {
+    st->done.push_back(t);
+    int b = t->glo;
+    if (b > G - GL) b = G - GL;
+    if (b < 0) b = 0;
+    st->base.push_back(b);
+  };
   auto retire = [&](size_t keep) {
     while (!open.empty() &&
            (open.front()->n_chunks >= cap || open.size() > keep)) {
       Tile* t = open.front();
-      st->done.push_back(t);
-      int b = t->glo;
-      if (b > G - GL) b = G - GL;
-      if (b < 0) b = 0;
-      st->base.push_back(b);
+      push_done(t);
       open.erase(open.begin());
     }
   };
@@ -425,11 +428,7 @@ long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
         for (size_t t = 0; lane_mode < 2 && t < open.size();) {
           if (open[t]->n_chunks >= cap * 9 / 10) {
             Tile* tt = open[t];
-            st->done.push_back(tt);
-            int b = tt->glo;
-            if (b > G - GL) b = G - GL;
-            if (b < 0) b = 0;
-            st->base.push_back(b);
+            push_done(tt);
             open.erase(open.begin() + t);
           } else {
             ++t;
@@ -565,6 +564,7 @@ struct F1Tile {
   int32_t cell[kChunk][kLanes];   // -1 free; claims scratch sublanes
   int16_t route[kChunk][kLanes];
   uint8_t used[kChunk][kLanes];
+  int32_t lane_row[kLanes];       // row owning each out lane (-1 free)
   int n_chunks = 0;
   int lane_seed = 0;
 
@@ -572,6 +572,7 @@ struct F1Tile {
     std::memset(cell, 0xff, sizeof(cell));
     std::memset(route, 0, sizeof(route));
     std::memset(used, 0, sizeof(used));
+    std::memset(lane_row, 0xff, sizeof(lane_row));
   }
 };
 
@@ -662,10 +663,17 @@ extern "C" {
 // feeds children straight into stage-2 tiles (cell = the child's
 // scratch sublane) — the scattered regime, where rows have 1-3 children
 // and stage 1's one-group-per-lane shape would waste ~70% of its tiles.
+// ``l1_keys`` picks the stage-1 OUT-lane rule: 0 = per-tile 37-stride
+// shuffle (legacy), K >= 1 = row-keyed — lane one of the K values
+// (row + j*128/K) & 127.  Row-keyed lanes make stage 2 near-conflict-
+// free: the partial's scratch2 lane then EQUALS (for K=1) the row's out
+// lane, so a stage-2 tile's cell[s][res] is claimed exactly once per
+// out position and F2 collapses to ~groups-touched (measured 10 -> ~3
+// per step on the banded headline; the 37-stride lanes collided).
 // Returns (n_t1 << 32) | n_t2, or -1 if stage 1 overflows max_f1.
 long long stpu_fused_finish(const int32_t* orow, const int32_t* sub,
                             const int32_t* lane, long long n, int max_f1,
-                            int direct, void** out_handle) {
+                            int direct, int l1_keys, void** out_handle) {
   auto* st = new FinState();
   FinMatcher m;
   long long i = 0;
@@ -693,8 +701,23 @@ long long stpu_fused_finish(const int32_t* orow, const int32_t* sub,
       ++i;
     }
     F1Tile* dst = nullptr;
+    int l_keyed = -1;
+    const int key0 = static_cast<int>(r) & (kLanes - 1);
+    const int key_step = l1_keys > 0 ? kLanes / l1_keys : 0;
     for (F1Tile* t : st->t1) {
       if (t->n_chunks >= kLanes) continue;
+      if (l1_keys > 0) {
+        int lf = -1;
+        for (int j = 0; j < l1_keys; ++j) {
+          const int lc = (key0 + j * key_step) & (kLanes - 1);
+          if (t->lane_row[lc] == -1) {
+            lf = lc;
+            break;
+          }
+        }
+        if (lf < 0) continue;
+        l_keyed = lf;
+      }
       if (m.match(t->cell)) {
         dst = t;
         break;
@@ -710,9 +733,12 @@ long long stpu_fused_finish(const int32_t* orow, const int32_t* sub,
           static_cast<int>(st->t1.size() * 53 + 29) & (kLanes - 1);
       st->t1.push_back(dst);
       (void)m.match(dst->cell);
+      l_keyed = key0;
     }
     const int k = dst->n_chunks++;
-    const int l = (k * 37 + dst->lane_seed) & (kLanes - 1);
+    const int l = l1_keys > 0 ? l_keyed
+                              : ((k * 37 + dst->lane_seed) & (kLanes - 1));
+    dst->lane_row[l] = r;
     for (int e = 0; e < m.n_real; ++e) {
       const int s = m.slot_of[e];
       dst->cell[s][m.res[e]] = m.stripe[e];

@@ -47,7 +47,7 @@ def _bind(lib):
     lib.stpu_fused_finish.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.stpu_fused_finish_copy.restype = None
     lib.stpu_fused_finish_copy.argtypes = [
@@ -64,7 +64,7 @@ def _bind(lib):
 
 def fused_finish_native(orow, sub, lane, scr_rows: int,
                         max_f1: int = 32, f1_drain: int = 32,
-                        direct: bool = False):
+                        direct: bool = False, l1_keys: int = 0):
     """Two-stage finish build for the fused layout (see packer.cpp).
     Children must be sorted by orow.  Returns (cells1 (n1*8, 128) i16,
     route1 i8, group2 (n2,) i32, cells2 (n2*8, 128) i16, route2 i8) or
@@ -79,7 +79,8 @@ def fused_finish_native(orow, sub, lane, scr_rows: int,
         sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_longlong(orow.shape[0]), ctypes.c_int(max_f1),
-        ctypes.c_int(1 if direct else 0), ctypes.byref(handle))
+        ctypes.c_int(1 if direct else 0), ctypes.c_int(l1_keys),
+        ctypes.byref(handle))
     if packed < 0:
         return None
     n1 = int(packed >> 32)

@@ -382,6 +382,15 @@ def _rechunk_lost(rows, cols, vals, grp_cols, Q, GLW):
     return (urow[c_rl], cols[src], np.where(real, vals[src], 0), real)
 
 
+# stage-1 out-lane rule for the native finish builder: K >= 1 row-keys
+# the lane ((row + j*128/K) & 127), making stage-2 cells near-conflict-
+# free (see packer.cpp stpu_fused_finish); 0 = legacy 37-stride shuffle.
+# Measured on the banded headline: K=1 trades F2 10 -> 6 against F1
+# 19 -> 21 (keyed-lane matcher spills) — a small net win; K=2's extra
+# key diversity gives the F2 conflicts back (F2 9).
+FINISH_L1_KEYS = 1
+
+
 def _finish_for_step(orows, sub_i, lane_i, scr_rows, direct=False):
     """Two-stage finish tiles for one step (native fast path with numpy
     fallback).  Returns (cells1, route1, group2, cells2, route2) lists
@@ -401,7 +410,8 @@ def _finish_for_step(orows, sub_i, lane_i, scr_rows, direct=False):
         out = fused_finish_native(orows[osort], sub_i[osort],
                                   lane_i[osort], scr_rows,
                                   max_f1=MAX_F1, f1_drain=F2_DRAIN,
-                                  direct=direct)
+                                  direct=direct,
+                                  l1_keys=0 if direct else FINISH_L1_KEYS)
         if out is None:
             return None
         cells1, route1, group2, cells2, route2 = out
