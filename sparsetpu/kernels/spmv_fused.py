@@ -304,6 +304,20 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
       x2, values, meta_i1, meta_rt, fin1_i1, fin1_rt, fin2_i1, fin2_rt)
 
 
+def _slabs_uniform(m: FusedMatrix) -> bool:
+    """True when every slab except the last spans exactly OBp*LANES
+    rows starting at 0 — the packed blocks are then contiguous in row
+    order and y reassembles as ONE slice of the flat output (the pack
+    cuts slab bounds at OBp*LANES multiples; splits on pack failure
+    break this, and the device falls back to per-slab slices)."""
+    sb = m.slab_bounds
+    ob = m.OBp * LANES
+    if int(sb[0]) != 0:
+        return False
+    deltas = np.diff(sb)
+    return bool(np.all(deltas[:-1] == ob) and deltas[-1] <= ob)
+
+
 class FusedDevice:
     """Device-resident fused-layout matrix (spmv in ONE kernel pass)."""
 
@@ -311,6 +325,7 @@ class FusedDevice:
         self.meta = packed
         self.interpret = interpret
         self.values = jnp.asarray(packed.values)
+        self._uniform_slabs = _slabs_uniform(packed)
         self.meta_i1 = jnp.asarray(packed.meta_i1)
         self.meta_rt = jnp.asarray(packed.meta_rt)
         self.fin1_i1 = jnp.asarray(packed.fin1_i1)
@@ -360,10 +375,14 @@ class FusedDevice:
         # jnp.take costs ~1.7 ms on TPU — measured — vs ~free DMA slices)
         flat = blocks.reshape(-1)
         sb = m.slab_bounds
-        parts = [jax.lax.dynamic_slice(
-            flat, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
-            for s in range(m.n_slabs)]
-        y = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        if self._uniform_slabs:
+            # aligned slabs: blocks ARE y in row order — one slice
+            y = flat[:int(sb[-1])]
+        else:
+            parts = [jax.lax.dynamic_slice(
+                flat, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
+                for s in range(m.n_slabs)]
+            y = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         if self.n_spills:
             xs = x2.reshape(-1)
             y = y.at[self.spill_row].add(
@@ -408,10 +427,14 @@ class FusedDevice:
             interpret=self.interpret)
         flat = blocks.reshape(k, -1)
         sb = m.slab_bounds
-        parts = [jax.lax.dynamic_slice(
-            flat, (0, s * m.OBp * LANES), (k, int(sb[s + 1] - sb[s])))
-            for s in range(m.n_slabs)]
-        y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        if self._uniform_slabs:
+            y = flat[:, :int(sb[-1])]
+        else:
+            parts = [jax.lax.dynamic_slice(
+                flat, (0, s * m.OBp * LANES), (k, int(sb[s + 1] - sb[s])))
+                for s in range(m.n_slabs)]
+            y = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                 else parts[0])
         if self.n_spills:
             xs = x3.reshape(k, -1)
             adds = self.spill_val[None, :] * jnp.take(
@@ -622,6 +645,7 @@ class DF64FusedDevice:
 
     def __init__(self, packed_hi: FusedMatrix, packed_lo: FusedMatrix,
                  interpret: bool = False):
+        self._uniform_slabs = _slabs_uniform(packed_hi)
         if not (np.array_equal(packed_hi.meta_i1, packed_lo.meta_i1)
                 and np.array_equal(packed_hi.tile_base,
                                    packed_lo.tile_base)):
@@ -690,14 +714,18 @@ class DF64FusedDevice:
             fin_direct=m.fin_direct, interpret=self.interpret)
         fh, fl = bh.reshape(-1), bl.reshape(-1)
         sb = m.slab_bounds
-        ph = [jax.lax.dynamic_slice(
-            fh, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
-            for s in range(m.n_slabs)]
-        pl2 = [jax.lax.dynamic_slice(
-            fl, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
-            for s in range(m.n_slabs)]
-        yh = jnp.concatenate(ph) if len(ph) > 1 else ph[0]
-        yl = jnp.concatenate(pl2) if len(pl2) > 1 else pl2[0]
+        if self._uniform_slabs:
+            yh = fh[:int(sb[-1])]
+            yl = fl[:int(sb[-1])]
+        else:
+            ph = [jax.lax.dynamic_slice(
+                fh, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
+                for s in range(m.n_slabs)]
+            pl2 = [jax.lax.dynamic_slice(
+                fl, (s * m.OBp * LANES,), (int(sb[s + 1] - sb[s]),))
+                for s in range(m.n_slabs)]
+            yh = jnp.concatenate(ph) if len(ph) > 1 else ph[0]
+            yl = jnp.concatenate(pl2) if len(pl2) > 1 else pl2[0]
         if self.n_spills:
             xsh = x2h.reshape(-1)
             xsl = x2l.reshape(-1)
@@ -755,6 +783,7 @@ def _fused_flatten(d):
 def _fused_unflatten(aux, children):
     d = object.__new__(FusedDevice)
     d.meta, d.interpret, d.n_spills = aux
+    d._uniform_slabs = _slabs_uniform(d.meta)
     (d.values, d.meta_i1, d.meta_rt, d.fin1_i1, d.fin1_rt,
      d.fin2_i1, d.fin2_rt,
      d.tile_base, d.fin1_cnt, d.fin2_cnt, d.fin2_group,
@@ -780,6 +809,7 @@ def _df64f_flatten(d):
 def _df64f_unflatten(aux, children):
     d = object.__new__(DF64FusedDevice)
     d.meta, d.interpret, d.n_spills = aux
+    d._uniform_slabs = _slabs_uniform(d.meta)
     (d.vhi, d.vlo, d.meta_i1, d.meta_rt, d.fin1_i1, d.fin1_rt,
      d.fin2_i1, d.fin2_rt, d.tile_base, d.fin1_cnt, d.fin2_cnt,
      d.fin2_group, d.step_slab, d.step_first, sr, sc, svh, svl) = children

@@ -856,8 +856,20 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     slab_results = []       # (r0, r1, steps)
     if nat_v2 is not None:
         slab_chunks = int(slab_steps * T * cpt * 0.985)
-        sb = list(_cut_steps(cpr_cum, nr_rows, slab_chunks,
-                             OBp_cap * LANES))
+        # slab bounds at EXACT OBp*LANES row multiples: every slab's
+        # block is then fully owned by its rows and y reassembles as
+        # ONE slice of the flat output instead of n_slabs dynamic
+        # slices + concat (~8 us on the headline).  Slab splits on
+        # pack failure break alignment — the device detects uniformity
+        # and falls back to the generic slices.
+        rows_target = max(1, slab_chunks * nr_rows
+                          // max(c_start.shape[0], 1))
+        OBp_al = 8
+        while OBp_al * LANES < rows_target and OBp_al < OBp_cap:
+            OBp_al *= 2
+        sb = list(range(0, nr_rows, OBp_al * LANES)) + [nr_rows]
+        if len(sb) >= 2 and sb[-1] == sb[-2]:
+            sb.pop()
         si = 0
         while si < len(sb) - 1:
             r0, r1 = int(sb[si]), int(sb[si + 1])
