@@ -318,25 +318,12 @@ void place_chunk_v2(Tile* t, const ChunkMatcher& m, int plane, int lane,
 // packs each row into a single conflict-free lane column (consecutive
 // rows -> distinct lanes; see stpu_fused_finish).
 // Returns the tile count; copy out with stpu_pack_copy_v2.
-//
-// cap_tiles > 0 caps the total tile count: once cap_tiles tiles exist, a
-// chunk that fits no open tile is SKIPPED (its elements left unmarked in
-// ``consumed``) instead of opening tile cap_tiles+1.  The fused band
-// packer feeds each grid step ~1.3x a step's chunk capacity and carries
-// the skipped chunks into the next step's feed, so every step fills
-// toward the residue-matcher's saturation instead of stopping at the
-// row-bisection estimate (measured: per-step lane occupancy 0.849 ->
-// 0.93+ on the 10M-nnz headline).  consumed may be null when
-// cap_tiles == 0 (every chunk is placed).
-static long long pack_v2_impl(const int32_t* rows, const int32_t* cols,
-                              const float* vals, long long n,
-                              int32_t trap_row, int q, int GL, int G,
-                              int max_open, int slab_rows, int lane_mode,
-                              int cap_tiles, uint8_t* consumed,
-                              void** out_handle) {
+long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
+                       const float* vals, long long n, int32_t trap_row,
+                       int q, int GL, int G, int max_open, int slab_rows,
+                       int lane_mode, void** out_handle) {
   if (q < 1 || q > kChunk || kChunk % q != 0) return -1;
   if (GL < 1 || GL > G || max_open < 1) return -1;
-  if (cap_tiles > 0 && consumed == nullptr) return -1;
   const int planes = kChunk / q;
   const int cap = planes * kLanes;
 
@@ -496,11 +483,6 @@ static long long pack_v2_impl(const int32_t* rows, const int32_t* cols,
       if (placed) break;
     }
     if (!placed) {
-      if (cap_tiles > 0 &&
-          static_cast<long long>(st->done.size() + open.size()) >=
-              static_cast<long long>(cap_tiles)) {
-        continue;  // skipped: the caller carries it into the next band
-      }
       Tile* t = new Tile();
       t->init(trap_row);
       t->lane_seed = static_cast<int>((tile_counter++) * 53 + 11) &
@@ -515,35 +497,11 @@ static long long pack_v2_impl(const int32_t* rows, const int32_t* cols,
       t->n_chunks++;
       open.push_back(t);
     }
-    if (consumed != nullptr)
-      for (int e = 0; e < c.len; ++e) consumed[c.start + e] = 1;
     retire(static_cast<size_t>(max_open));
   }
   retire(0);
   *out_handle = st;
   return static_cast<long long>(st->done.size());
-}
-
-long long stpu_pack_v2(const int32_t* rows, const int32_t* cols,
-                       const float* vals, long long n, int32_t trap_row,
-                       int q, int GL, int G, int max_open, int slab_rows,
-                       int lane_mode, void** out_handle) {
-  return pack_v2_impl(rows, cols, vals, n, trap_row, q, GL, G, max_open,
-                      slab_rows, lane_mode, /*cap_tiles=*/0,
-                      /*consumed=*/nullptr, out_handle);
-}
-
-// Capped variant: see pack_v2_impl.  ``consumed`` must be a zeroed
-// uint8[n]; elements of placed chunks are set to 1.
-long long stpu_pack_v2_cap(const int32_t* rows, const int32_t* cols,
-                           const float* vals, long long n,
-                           int32_t trap_row, int q, int GL, int G,
-                           int max_open, int slab_rows, int lane_mode,
-                           int cap_tiles, uint8_t* consumed,
-                           void** out_handle) {
-  return pack_v2_impl(rows, cols, vals, n, trap_row, q, GL, G, max_open,
-                      slab_rows, lane_mode, cap_tiles, consumed,
-                      out_handle);
 }
 
 // Copy out v2 tiles.  cells are emitted RELATIVE to the tile base;

@@ -43,15 +43,6 @@ def _bind(lib):
     ]
     lib.stpu_pack_v2_free.restype = None
     lib.stpu_pack_v2_free.argtypes = [ctypes.c_void_p]
-    lib.stpu_pack_v2_cap.restype = ctypes.c_longlong
-    lib.stpu_pack_v2_cap.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
-        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_void_p),
-    ]
     lib.stpu_fused_finish.restype = ctypes.c_longlong
     lib.stpu_fused_finish.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -157,54 +148,6 @@ def pack_v2_native(rows, cols, vals, trap_row: int, q: int, GL: int,
     finally:
         lib.stpu_pack_v2_free(handle)
     return values, cells, route.astype(np.int8), chunk_row, tile_base
-
-
-def pack_v2_cap_native(rows, cols, vals, trap_row: int, q: int, GL: int,
-                       G: int, cap_tiles: int, slab_rows: int = 0,
-                       lane_shuffle=False):
-    """Tile-capped v2 pack: once ``cap_tiles`` tiles exist, chunks that
-    fit no open tile are skipped instead of opening new tiles.  Returns
-    (values, cells, route, chunk_row, tile_base, consumed) where
-    ``consumed`` is a bool[n] element mask — the caller carries the
-    unconsumed elements into the next band's feed (see packer.cpp
-    stpu_pack_v2_cap)."""
-    lib = _bind(_lib())
-    rows = np.ascontiguousarray(rows, dtype=np.int32)
-    cols = np.ascontiguousarray(cols, dtype=np.int32)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
-    consumed = np.zeros(rows.shape[0], dtype=np.uint8)
-    handle = ctypes.c_void_p()
-    n_tiles = lib.stpu_pack_v2_cap(
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ctypes.c_longlong(rows.shape[0]), ctypes.c_int32(trap_row),
-        ctypes.c_int(q), ctypes.c_int(GL), ctypes.c_int(G),
-        ctypes.c_int(max(cap_tiles, 1)), ctypes.c_int(slab_rows),
-        ctypes.c_int(int(lane_shuffle)), ctypes.c_int(cap_tiles),
-        consumed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(handle))
-    if n_tiles < 0:
-        raise RuntimeError("stpu_pack_v2_cap failed")
-    n_tiles = int(n_tiles)
-    planes = 8 // q
-    values = np.empty((n_tiles * 8, 128), dtype=np.float32)
-    cells = np.empty((n_tiles * 8, 128), dtype=np.int16)
-    route = np.empty((n_tiles * 8, 128), dtype=np.int16)
-    chunk_row = np.empty((n_tiles * planes, 128), dtype=np.int32)
-    tile_base = np.empty((n_tiles,), dtype=np.int32)
-    try:
-        lib.stpu_pack_copy_v2(
-            handle, ctypes.c_int(q),
-            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            route.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            chunk_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            tile_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    finally:
-        lib.stpu_pack_v2_free(handle)
-    return (values, cells, route.astype(np.int8), chunk_row, tile_base,
-            consumed.astype(bool))
 
 
 # First-fit window (open tiles tried per chunk).  Small quanta give each

@@ -246,33 +246,6 @@ def _native_v2():
         return None
 
 
-def _native_v2_cap():
-    """Tile-capped v2 pack with a consumed mask (packer.cpp
-    stpu_pack_v2_cap) — the band packer's carry loop.  Checks the
-    symbol so a stale pre-built .so degrades cleanly."""
-    try:
-        from ..native.loader import _lib
-        from ..native.packer import available, pack_v2_cap_native
-        if not available() or not hasattr(_lib(), "stpu_pack_v2_cap"):
-            return None
-        return pack_v2_cap_native
-    except Exception:
-        return None
-
-
-# Band feed budget: chunks offered to each T-tile-capped step, as a
-# multiple of the step's chunk capacity.  Above ~1.3 the extra feed only
-# grows the carry (and the rows-touched-per-step stage-1 cost); below
-# ~1.15 steps seal before the matcher saturates.  Measured on the 10M
-# headline: 1.3 lifts per-step lane occupancy 0.849 -> ~0.93.
-_FEED_OVER = 1.3
-
-# when set to a list, pack_slab_scatter appends per-step tuples
-# (nt, placed_chunk_cells, rows_touched, carry_elems, carry_rows) —
-# band-tuning diagnostics only
-_BAND_STATS = None
-
-
 def _finish_two_stage_numpy(orow, sub, lane, scr_rows, direct=False):
     """NumPy port of the native two-stage finish builder (packer.cpp
     stpu_fused_finish); used when the C++ library is absent.  Python
@@ -673,11 +646,6 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     OBp_cap = 256
     nat_v2 = _native_v2() if (use_native and
                               np.dtype(value_dtype) == np.float32) else None
-    # the band carry loop needs the capped entry too; a stale .so
-    # without it degrades the whole slab path to the NumPy fallback
-    nat_v2c = _native_v2_cap() if nat_v2 is not None else None
-    if nat_v2 is not None and nat_v2c is None:
-        nat_v2 = None
     row_ptr64 = matrix.row_ptr.astype(np.int64)
     cols64 = matrix.col_ind.astype(np.int64)
     vals_all = matrix.values
@@ -707,79 +675,91 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         return (vals_l, (i1_l, rt_l), tbase_l, fin)
 
     def pack_slab_scatter(r0, r1, lane_mode):
-        """Carry-capped band packing (scattered two-stage AND dense
-        band-exact regimes): each grid step is fed ~_FEED_OVER x a
-        step's chunk capacity into a T-tile-capped native pack; chunks
-        that fit no tile CARRY into the next step's feed instead of
-        forcing a row-bisection retry.  Rows touched per step stay ~the
-        band (the stage-1 finish floor), while every step fills toward
-        the residue-matcher's saturation rather than stopping at the
-        bisection estimate (per-step lane occupancy 0.849 -> ~0.93
-        measured on the 10M headline)."""
+        """Scattered two-stage regime: pack each grid step as its OWN
+        row band (adaptive cursor, retry on tile overflow).  Rows
+        touched per step == the band's rows, so the stage-1 finish pays
+        its floor (one partial per row) instead of the ~2x spread that
+        cross-band open tiles cause."""
         slab_trap = r1 - r0
         steps = []
-        cap_chunks = T * P * LANES
-        carry = (np.empty(0, np.int32), np.empty(0, np.int32),
-                 np.empty(0, np.float32))
         r = r0
+        est_cpb = T * cpt * 0.55          # chunks per band, adapted
         starved = 0
-        while r < r1 or carry[0].size:
-            want = int(cap_chunks * _FEED_OVER) - carry[0].size // Q
-            nr = r
-            if r < r1 and want > 0:
-                target = cpr_cum[r] + want
-                nr = int(np.searchsorted(cpr_cum, target,
-                                         side="right")) - 1
-                nr = min(max(nr, r + 1), r1)
-            lo, hi = int(row_ptr64[r]), int(row_ptr64[nr])
-            rows_n = (np.repeat(np.arange(r, nr, dtype=np.int64),
-                                np.diff(row_ptr64[r:nr + 1]))
-                      - r0).astype(np.int32)
-            feed_r = np.concatenate([carry[0], rows_n])
-            feed_c = np.concatenate([carry[1], matrix.col_ind[lo:hi]
-                                     .astype(np.int32, copy=False)])
-            feed_v = np.concatenate([
-                carry[2],
-                matrix.values[lo:hi].astype(np.float32, copy=False)])
-            r = nr
-            if feed_r.size == 0:
-                if r >= r1:
+        while r < r1:
+            target = cpr_cum[r] + est_cpb
+            nr = int(np.searchsorted(cpr_cum, target, side="right")) - 1
+            nr = min(max(nr, r + 1), r1)
+            # aim the band at EXACTLY T tiles: every tile short of T is
+            # a fully padded (8, 128) slot block the kernel still runs
+            # (measured on the headline: undershooting bands by ~13%
+            # cost the ENTIRE fill advantage of tight banding) — so
+            # grow undershooting bands as well as shrinking overflows,
+            # bisection-bounded
+            packed = None
+            nr_hi = r1 + 1            # smallest nr known to overflow T
+            for _ in range(6):
+                lo, hi = int(row_ptr64[r]), int(row_ptr64[nr])
+                if lo == hi:
                     break
+                rows_loc = (np.repeat(
+                    np.arange(r, nr, dtype=np.int64),
+                    np.diff(row_ptr64[r:nr + 1])) - r).astype(np.int32)
+                out = nat_v2(
+                    rows_loc, matrix.col_ind[lo:hi],
+                    matrix.values[lo:hi].astype(np.float32, copy=False),
+                    nr - r, q=Q, GL=GLW, G=GX, max_open=256,
+                    slab_rows=0, lane_shuffle=lane_mode)
+                nt = out[4].shape[0]
+                if nt <= T:
+                    if packed is None or nr > packed[1]:
+                        packed = (out, nr)
+                    if nt >= int(T * 0.985) or nr >= r1:
+                        break
+                    grown = r + max(int((nr - r) * T / max(nt, 1)),
+                                    nr - r + 1)
+                    nr = min(max(grown, nr + 1), r1, nr_hi - 1)
+                    if nr <= packed[1]:
+                        break
+                else:
+                    nr_hi = min(nr_hi, nr)
+                    nr = r + max(1, int((nr - r) * T / nt * 0.93))
+                    nr = min(nr, nr_hi - 1)
+                    if packed is not None and nr <= packed[1]:
+                        break
+            if packed is not None:
+                packed, nr = packed
+            if int(row_ptr64[r]) == int(row_ptr64[nr]):
+                r = nr
                 continue
-            v, c16, r8, crow, tb, used = nat_v2c(
-                feed_r, feed_c, feed_v, slab_trap, q=Q, GL=GLW, G=GX,
-                cap_tiles=T, slab_rows=0, lane_shuffle=lane_mode)
-            carry = (feed_r[~used], feed_c[~used], feed_v[~used])
+            if packed is None:
+                return None           # a single heavy row overflows T
+            v, c16, r8, crow, tb = packed
             nt = tb.shape[0]
-            if nt == 0:
-                continue
-            # availability starvation (steps forced to near-empty tiles
+            chunks_band = float(cpr_cum[nr] - cpr_cum[r])
+            est_cpb = (0.5 * est_cpb
+                       + 0.5 * chunks_band * min(T / max(nt, 1), 1.5))
+            # availability starvation (bands forced to near-empty tiles
             # by the column-window count): bail out so the Q chooser
             # can fall back to a direct or Q=8 pack instead of grinding
-            # out thousands of ~empty steps.  Keyed on STEP FILL —
-            # element-based here, so the threshold is scaled vs the old
-            # chunk-based 0.25 gate (measured: Q=2 on webbase-class
-            # packed 150 s to fill 0.005 under a chunk-count guard)
-            placed = float(used.sum())
-            step_fill = placed / max(nt * CHUNK * LANES, 1)
-            if _BAND_STATS is not None:
-                _BAND_STATS.append((
-                    nt, int(placed),
-                    int(np.unique(crow[crow != slab_trap]).size),
-                    int(carry[0].size), int(np.unique(carry[0]).size)))
-            if step_fill < 0.22 and (r < r1
-                                     or carry[0].size > cap_chunks):
+            # out thousands of ~empty steps.  Keyed on BAND FILL, not
+            # chunk count — a starved band can hold plenty of chunks
+            # spread over near-empty window tiles (measured: Q=2 on
+            # webbase-class packed 150 s to fill 0.005 under a
+            # chunk-count guard)
+            band_fill = chunks_band * Q / max(nt * CHUNK * LANES, 1)
+            if band_fill < 0.25 and nr < r1:
                 starved += 1
                 if starved >= 2:
                     raise _ScatterStarved()
             else:
                 starved = 0
             step = _build_step(v, c16, r8, crow, tb, nt,
-                               band_trap=slab_trap, roff=0,
+                               band_trap=nr - r, roff=r - r0,
                                slab_trap=slab_trap)
             if step is None:
                 return None
             steps.append(step)
+            r = nr
         return steps
 
     # Each slab result: (r0, r1, [per-step (vals, meta16, tbase, ft)])
