@@ -220,6 +220,8 @@ def _fused_spmm_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
     gx8 = x3.shape[1]
+    f1a = fin1_i1.shape[0] // (n_steps * CHUNK)
+    f2a = fin2_i1.shape[0] // (n_steps * CHUNK)
 
     def step_spec():
         return pl.BlockSpec((rows_per_step, LANES), lambda i, *p: (i, 0))
@@ -233,8 +235,8 @@ def _fused_spmm_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
         in_specs=[
             pl.BlockSpec((k, gx8, LANES), lambda i, *p: (0, 0, 0)),
             step_spec(), step_spec(), step_spec(),
-            fin_spec(F1_max), fin_spec(F1_max),
-            fin_spec(F2_max), fin_spec(F2_max),
+            fin_spec(f1a), fin_spec(f1a),
+            fin_spec(f2a), fin_spec(f2a),
         ],
         out_specs=pl.BlockSpec((k, OBp, LANES),
                                lambda i, tb, f1, f2, fg, ss, sf:
@@ -270,6 +272,11 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
     gx8 = x2.shape[0]
+    # allocated per-step finish tile counts (>= F1_max/F2_max, padded to
+    # 4-tile multiples at pack time so each step's int8 block is Mosaic
+    # (32, 128)-tile aligned; older checkpoints may be unpadded)
+    f1a = fin1_i1.shape[0] // (n_steps * CHUNK)
+    f2a = fin2_i1.shape[0] // (n_steps * CHUNK)
 
     def step_spec():
         return pl.BlockSpec((rows_per_step, LANES), lambda i, *p: (i, 0))
@@ -283,8 +290,8 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
         in_specs=[
             pl.BlockSpec((gx8, LANES), lambda i, *p: (0, 0)),
             step_spec(), step_spec(), step_spec(),
-            fin_spec(F1_max), fin_spec(F1_max),
-            fin_spec(F2_max), fin_spec(F2_max),
+            fin_spec(f1a), fin_spec(f1a),
+            fin_spec(f2a), fin_spec(f2a),
         ],
         out_specs=pl.BlockSpec((OBp, LANES),
                                lambda i, tb, f1, f2, fg, ss, sf:
@@ -594,6 +601,8 @@ def _fused_df64_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
     gx8 = x2h.shape[0]
+    f1a = fin1_i1.shape[0] // (n_steps * CHUNK)
+    f2a = fin2_i1.shape[0] // (n_steps * CHUNK)
 
     def step_spec():
         return pl.BlockSpec((rows_per_step, LANES), lambda i, *p: (i, 0))
@@ -612,8 +621,8 @@ def _fused_df64_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
             pl.BlockSpec((gx8, LANES), lambda i, *p: (0, 0)),
             pl.BlockSpec((gx8, LANES), lambda i, *p: (0, 0)),
             step_spec(), step_spec(), step_spec(), step_spec(),
-            fin_spec(F1_max), fin_spec(F1_max),
-            fin_spec(F2_max), fin_spec(F2_max),
+            fin_spec(f1a), fin_spec(f1a),
+            fin_spec(f2a), fin_spec(f2a),
         ],
         out_specs=[out_spec(), out_spec()],
         scratch_shapes=[pltpu.VMEM((T * P, LANES), jnp.float32),

@@ -685,7 +685,22 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         r = r0
         est_cpb = T * cpt * 0.55          # chunks per band, adapted
         starved = 0
+        # degenerate-band guard: when window conflicts pin bands at a
+        # few rows each, the loop makes O(rows) native calls of O(1)
+        # work.  The per-band fill gate misses the regime when clustered
+        # bands (fill >= 0.25) alternate with scattered ones and reset
+        # the consecutive counter — measured: the Q=2 T=4 chooser
+        # candidate ground 400+ s in ~1-row bands on mac_econ-class.
+        # A healthy pack emits ~1 band per grid step; 8x + slack is
+        # generous for structure variance.
+        n_bands = 0
+        exp_steps = max(1, int((cpr_cum[r1] - cpr_cum[r0])
+                               // max(T * cpt, 1)))
+        max_bands = 64 + 8 * exp_steps
         while r < r1:
+            n_bands += 1
+            if n_bands > max_bands:
+                raise _ScatterStarved()
             target = cpr_cum[r] + est_cpb
             nr = int(np.searchsorted(cpr_cum, target, side="right")) - 1
             nr = min(max(nr, r + 1), r1)
@@ -953,14 +968,22 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     while F1S < F1_max:
         F1S *= 2
     # finish cells ship as int8 with drain = -1 (scratch sublanes fit
-    # 7 bits once T*P <= 128; the kernel masks i1 < 0)
-    fin1_meta = np.full((n_steps, F1_max, CHUNK, LANES), -1,
+    # 7 bits once T*P <= 128; the kernel masks i1 < 0).  The ALLOCATED
+    # per-step tile counts round up to multiples of 4 so each step's
+    # (F*8, 128) int8 block starts at a Mosaic (32, 128) int8-tile
+    # boundary — misaligned blocks force a re-layout copy per step's
+    # finish DMA.  The kernel still loops only F1_max/F2_max (it derives
+    # the allocated stride from the array shape); the pad rows are never
+    # read.
+    F1A = -(-F1_max // 4) * 4
+    F2A = -(-F2_max // 4) * 4
+    fin1_meta = np.full((n_steps, F1A, CHUNK, LANES), -1,
                         dtype=np.int8)
-    fin1_route = np.zeros((n_steps, F1_max, CHUNK, LANES),
+    fin1_route = np.zeros((n_steps, F1A, CHUNK, LANES),
                           dtype=np.int8)
-    fin2_meta = np.full((n_steps, F2_max, CHUNK, LANES), -1,
+    fin2_meta = np.full((n_steps, F2A, CHUNK, LANES), -1,
                         dtype=np.int8)
-    fin2_route = np.zeros((n_steps, F2_max, CHUNK, LANES),
+    fin2_route = np.zeros((n_steps, F2A, CHUNK, LANES),
                           dtype=np.int8)
     fin2_group = np.zeros((n_steps, F2_max), dtype=np.int32)
     for s in range(n_steps):
