@@ -166,10 +166,15 @@ def synthetic_stand_in(name: str, seed: int = 1234) -> CSRMatrix:
     nnz count (power-law row distribution for web-graph-like entries).
     A stand-in for *throughput protocol* runs on air-gapped machines —
     numerics match the format, not the original operator."""
+    import zlib
+
     from .random import random_csr
     info = CLASSIC_SUITE[name]
     density = info.nnz / (info.rows * float(info.cols))
+    # stable per-name seed: Python's str hash is randomized per process
+    # (PYTHONHASHSEED), which made stand-ins — and so suite pack times
+    # and layout-chooser decisions — irreproducible across runs
     return random_csr(info.rows, info.cols, density=density,
-                      seed=seed ^ hash(name) & 0xFFFF,
+                      seed=seed ^ (zlib.crc32(name.encode()) & 0xFFFF),
                       dtype=np.float32,
                       powerlaw=(info.kind == "powerlaw"))
