@@ -22,7 +22,12 @@ from sparsetpu.kernels.spmv_fused import (FusedDevice, _tree_merge,
                                           _fused_spmv_blocks)
 from sparsetpu.utils.config import LANES, SUBLANES as CHUNK
 
-m = random_csr(200_000, 100_000, density=0.0005, seed=1)
+if len(sys.argv) > 1 and sys.argv[1] != "headline":
+    from sparsetpu.formats.suitesparse import fetch
+    m, _ = fetch(sys.argv[1], allow_synthetic=True)
+    m.values = m.values.astype(np.float32)
+else:
+    m = random_csr(200_000, 100_000, density=0.0005, seed=1)
 p = pack_fused(m)
 dev = FusedDevice(p)
 x2 = dev.prepare_x(np.random.default_rng(0).standard_normal(m.nr_cols))

@@ -32,7 +32,8 @@ def spec(rows):
 
 
 def kern8(v_ref, i1_ref, rt_ref, a_ref, b_ref, c_ref, d_ref, o_ref):
-    o_ref[...] = (jnp.sum(v_ref[...], axis=0, keepdims=True)
+    o_ref[...] = jnp.broadcast_to(
+        jnp.sum(v_ref[...], axis=0, keepdims=True)
                   + jnp.sum(i1_ref[...].astype(jnp.float32), axis=0,
                             keepdims=True)
                   + jnp.sum(rt_ref[...].astype(jnp.float32), axis=0,
@@ -44,13 +45,14 @@ def kern8(v_ref, i1_ref, rt_ref, a_ref, b_ref, c_ref, d_ref, o_ref):
                   + jnp.sum(c_ref[...].astype(jnp.float32), axis=0,
                             keepdims=True)
                   + jnp.sum(d_ref[...].astype(jnp.float32), axis=0,
-                            keepdims=True))
+                            keepdims=True), (CHUNK, LANES))
 
 
 def kern2(v_ref, m_ref, o_ref):
-    o_ref[...] = (jnp.sum(v_ref[...], axis=0, keepdims=True)
+    o_ref[...] = jnp.broadcast_to(
+        jnp.sum(v_ref[...], axis=0, keepdims=True)
                   + jnp.sum(m_ref[...].astype(jnp.float32), axis=0,
-                            keepdims=True))
+                            keepdims=True), (CHUNK, LANES))
 
 
 rng = np.random.default_rng(0)
@@ -68,16 +70,16 @@ f8 = pl.pallas_call(
         num_scalar_prefetch=0, grid=(N_STEPS,),
         in_specs=[spec(rows_v)] + [spec(a.shape[0] // N_STEPS)
                                    for a in i8s],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (i, 0))),
-    out_shape=jax.ShapeDtypeStruct((N_STEPS, LANES), jnp.float32))
+        out_specs=pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0))),
+    out_shape=jax.ShapeDtypeStruct((N_STEPS * CHUNK, LANES), jnp.float32))
 
 f2 = pl.pallas_call(
     kern2,
     grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(N_STEPS,),
         in_specs=[spec(rows_v), spec(rows_m + rows_f)],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (i, 0))),
-    out_shape=jax.ShapeDtypeStruct((N_STEPS, LANES), jnp.float32))
+        out_specs=pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0))),
+    out_shape=jax.ShapeDtypeStruct((N_STEPS * CHUNK, LANES), jnp.float32))
 
 xw = v  # chain through v
 
@@ -94,3 +96,20 @@ for name, fn in (("8 streams", run8), ("2 streams", run2)):
     t = timeit_chained(fn, xw, 192, 8)
     print(f"{name}: {t*1e6:7.1f} us  ({t*1e6/N_STEPS*1000:6.0f} ns/step)",
           flush=True)
+
+
+# grouped: same total bytes, S sub-steps folded into one grid step
+for S in (2, 4):
+    ns = N_STEPS // S
+    fS = pl.pallas_call(
+        kern2,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0, grid=(ns,),
+            in_specs=[spec(rows_v * S), spec((rows_m + rows_f) * S)],
+            out_specs=pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0))),
+        out_shape=jax.ShapeDtypeStruct((ns * CHUNK, LANES), jnp.float32))
+    vS = v[:ns * S * rows_v]
+    mS = merged[:ns * S * (rows_m + rows_f)]
+    t = timeit_chained(lambda x: fS(x, mS), vS, 192, 8)
+    print(f"2 streams S={S}: {t*1e6:7.1f} us ({t*1e6/ns*1000:6.0f} ns/gstep,"
+          f" {t*1e6/(ns*S)*1000:6.0f} ns/substep)", flush=True)

@@ -50,80 +50,95 @@ def _fused_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
                   f1i1_ref, f1rt_ref, f2i1_ref, f2rt_ref,
                   out_ref, scratch_ref, scratch2_ref, *,
                   T: int, GLW: int, P: int, F1_max: int, F2_max: int,
-                  F1S: int, OBp: int, fin_direct: int = 0):
-    i = pl.program_id(0)
+                  F1S: int, OBp: int, S: int = 1, F1A: int = 0,
+                  F2A: int = 0, fin_direct: int = 0):
+    """One grid step runs S packed sub-steps back to back: each grid
+    iteration pays ~180 ns of fixed cost (DMA issue + grid machinery,
+    measured), so small-T regimes fold several sub-steps into one
+    iteration.  All S sub-steps share the slab's resident out block
+    (the pack pads every slab's step count to a multiple of S).
+    F1A/F2A are the ALLOCATED per-sub-step finish tile strides (padded
+    to 4-tile int8 alignment); the loops run the true F1_max/F2_max."""
+    gidx = pl.program_id(0)
     Q = CHUNK // P
+    F1A = F1A or F1_max
+    F2A = F2A or F2_max
 
-    # ---- forward: T tiles -> per-chunk partial sums in VMEM scratch
-    for t in range(T):
-        sl = slice(t * CHUNK, (t + 1) * CHUNK)
-        b = tb_ref[i, t]
-        i1 = i1_ref[sl, :].astype(jnp.int32)
-        j = rt_ref[sl, :].astype(jnp.int32)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.right_shift(i1, 3)
-        xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
-        parts = [jnp.take_along_axis(
-            xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(GLW)]
-        g1 = _tree_merge(parts, grp)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        prod = val_ref[sl, :] * g2
-        if P == 1:
-            scratch_ref[t, :] = jnp.sum(prod, axis=0)
-        else:
-            for p in range(P):
-                scratch_ref[t * P + p, :] = jnp.sum(
-                    prod[p * Q:(p + 1) * Q, :], axis=0)
+    for s in range(S):
+        i = gidx * S + s if S > 1 else gidx
 
-    # ---- finish stage 1: collapse each row's chunk partials to ONE
-    # partial in scratch2 (same dual-gather mechanics over the scratch)
-    # (no pl.when predication anywhere below: a branch costs ~80 ns on
-    # v5e — measured, 36 of them tripled the kernel — while a drained
-    # tile's unconditional work is ~10 ns and adds exact zeros)
-    SR = T * P                    # scratch rows; SR == drain cell value
-    SG = SR // CHUNK
-    for f in range(0 if fin_direct else F1_max):
-        sl = slice(f * CHUNK, (f + 1) * CHUNK)
-        i1 = f1i1_ref[sl, :].astype(jnp.int32)     # drain = -1
-        j = f1rt_ref[sl, :].astype(jnp.int32)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.bitwise_and(jnp.right_shift(i1, 3), SG - 1)
-        parts = [jnp.take_along_axis(
-            scratch_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(SG)]
-        g1 = _tree_merge(parts, grp)
-        g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        scratch2_ref[f, :] = jnp.sum(g2, axis=0)
+        # ---- forward: T tiles -> per-chunk partial sums in VMEM scratch
+        for t in range(T):
+            sl = slice((s * T + t) * CHUNK, (s * T + t + 1) * CHUNK)
+            b = tb_ref[i, t]
+            i1 = i1_ref[sl, :].astype(jnp.int32)
+            j = rt_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.right_shift(i1, 3)
+            xwin = xw_ref[pl.ds(b * CHUNK, CHUNK * GLW), :]
+            parts = [jnp.take_along_axis(
+                xwin[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                for g in range(GLW)]
+            g1 = _tree_merge(parts, grp)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            prod = val_ref[sl, :] * g2
+            if P == 1:
+                scratch_ref[t, :] = jnp.sum(prod, axis=0)
+            else:
+                for p in range(P):
+                    scratch_ref[t * P + p, :] = jnp.sum(
+                        prod[p * Q:(p + 1) * Q, :], axis=0)
 
-    # ---- finish stage 2: aligned out groups — position (s, l) IS out
-    # row (8*group+s)*128 + l, so each tile lands with ONE (8, 128)
-    # dynamic-offset accumulate into the slab's resident out block
-    # (first step zeroes it; accumulation is csr_hw.cpp:1555's `+=`)
-    @pl.when(sfirst_ref[i] == 1)
-    def _():
-        out_ref[...] = jnp.zeros((OBp, LANES), dtype=out_ref.dtype)
-    # stage-2 source: the row partials in scratch2, or (when stage 1 is
-    # skipped — the scattered regime) the chunk sums in scratch directly
-    s2_src, s2_rows = ((scratch_ref, SR) if fin_direct
-                       else (scratch2_ref, F1S))
-    S2G = s2_rows // CHUNK
-    for f in range(F2_max):
-        sl = slice(f * CHUNK, (f + 1) * CHUNK)
-        i1 = f2i1_ref[sl, :].astype(jnp.int32)     # drain = -1
-        j = f2rt_ref[sl, :].astype(jnp.int32)
-        sub = jnp.bitwise_and(i1, CHUNK - 1)
-        grp = jnp.bitwise_and(jnp.right_shift(i1, 3), S2G - 1)
-        parts = [jnp.take_along_axis(
-            s2_src[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
-            for g in range(S2G)]
-        g1 = parts[0] if S2G == 1 else _tree_merge(parts, grp)
-        g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
-        g2 = jnp.take_along_axis(g1, j, axis=1)
-        g = f2grp_ref[i, f]
-        out_ref[pl.ds(g * CHUNK, CHUNK), :] = (
-            out_ref[pl.ds(g * CHUNK, CHUNK), :] + g2)
+        # ---- finish stage 1: collapse each row's chunk partials to ONE
+        # partial in scratch2 (same dual-gather mechanics over scratch)
+        # (no pl.when predication anywhere below: a branch costs ~80 ns
+        # on v5e — measured, 36 of them tripled the kernel — while a
+        # drained tile's unconditional work is ~10 ns, adding exact
+        # zeros)
+        SR = T * P                # scratch rows; SR == drain cell value
+        SG = SR // CHUNK
+        for f in range(0 if fin_direct else F1_max):
+            sl = slice((s * F1A + f) * CHUNK, (s * F1A + f + 1) * CHUNK)
+            i1 = f1i1_ref[sl, :].astype(jnp.int32)     # drain = -1
+            j = f1rt_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.bitwise_and(jnp.right_shift(i1, 3), SG - 1)
+            parts = [jnp.take_along_axis(
+                scratch_ref[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                for g in range(SG)]
+            g1 = _tree_merge(parts, grp)
+            g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            scratch2_ref[f, :] = jnp.sum(g2, axis=0)
+
+        # ---- finish stage 2: aligned out groups — position (s, l) IS
+        # out row (8*group+s)*128 + l, so each tile lands with ONE
+        # (8, 128) dynamic-offset accumulate into the slab's resident
+        # out block (first step zeroes it; accumulation is
+        # csr_hw.cpp:1555's `+=`)
+        @pl.when(sfirst_ref[i] == 1)
+        def _():
+            out_ref[...] = jnp.zeros((OBp, LANES), dtype=out_ref.dtype)
+        # stage-2 source: the row partials in scratch2, or (when stage 1
+        # is skipped — the scattered regime) the chunk sums in scratch
+        s2_src, s2_rows = ((scratch_ref, SR) if fin_direct
+                           else (scratch2_ref, F1S))
+        S2G = s2_rows // CHUNK
+        for f in range(F2_max):
+            sl = slice((s * F2A + f) * CHUNK, (s * F2A + f + 1) * CHUNK)
+            i1 = f2i1_ref[sl, :].astype(jnp.int32)     # drain = -1
+            j = f2rt_ref[sl, :].astype(jnp.int32)
+            sub = jnp.bitwise_and(i1, CHUNK - 1)
+            grp = jnp.bitwise_and(jnp.right_shift(i1, 3), S2G - 1)
+            parts = [jnp.take_along_axis(
+                s2_src[g * CHUNK:(g + 1) * CHUNK, :], sub, axis=0)
+                for g in range(S2G)]
+            g1 = parts[0] if S2G == 1 else _tree_merge(parts, grp)
+            g1 = jnp.where(i1 < 0, jnp.float32(0), g1)
+            g2 = jnp.take_along_axis(g1, j, axis=1)
+            g = f2grp_ref[i, f]
+            out_ref[pl.ds(g * CHUNK, CHUNK), :] = (
+                out_ref[pl.ds(g * CHUNK, CHUNK), :] + g2)
 
 
 def _fused_spmm_kernel(tb_ref, f1cnt_ref, f2cnt_ref, f2grp_ref, sslab_ref,
@@ -268,6 +283,7 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
                        T: int, GLW: int,
                        P: int, F1_max: int, F2_max: int, F1S: int,
                        OBp: int, n_steps: int, n_slabs: int,
+                       S: int = 1,
                        fin_direct: int = 0,
                        interpret: bool = False):
     rows_per_step = T * CHUNK
@@ -277,16 +293,22 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
     # (32, 128)-tile aligned; older checkpoints may be unpadded)
     f1a = fin1_i1.shape[0] // (n_steps * CHUNK)
     f2a = fin2_i1.shape[0] // (n_steps * CHUNK)
+    # S sub-steps fold into one grid iteration (pack pads every slab's
+    # step count to a multiple of S; S=1 for pre-SGRP checkpoints)
+    if n_steps % S:
+        S = 1
 
     def step_spec():
-        return pl.BlockSpec((rows_per_step, LANES), lambda i, *p: (i, 0))
+        return pl.BlockSpec((S * rows_per_step, LANES),
+                            lambda i, *p: (i, 0))
 
     def fin_spec(fm):
-        return pl.BlockSpec((fm * CHUNK, LANES), lambda i, *p: (i, 0))
+        return pl.BlockSpec((S * fm * CHUNK, LANES),
+                            lambda i, *p: (i, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(n_steps,),
+        grid=(n_steps // S,),
         in_specs=[
             pl.BlockSpec((gx8, LANES), lambda i, *p: (0, 0)),
             step_spec(), step_spec(), step_spec(),
@@ -295,13 +317,14 @@ def _fused_spmv_blocks(tile_base, fin1_cnt, fin2_cnt, fin2_group,
         ],
         out_specs=pl.BlockSpec((OBp, LANES),
                                lambda i, tb, f1, f2, fg, ss, sf:
-                               (ss[i], 0)),
+                               (ss[i * S], 0)),
         scratch_shapes=[pltpu.VMEM((T * P, LANES), jnp.float32),
                         pltpu.VMEM((F1S, LANES), jnp.float32)],
     )
     kernel = functools.partial(_fused_kernel, T=T, GLW=GLW, P=P,
                                F1_max=F1_max, F2_max=F2_max, F1S=F1S,
-                               OBp=OBp, fin_direct=fin_direct)
+                               OBp=OBp, S=S, F1A=f1a, F2A=f2a,
+                               fin_direct=fin_direct)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slabs * OBp, LANES),
@@ -376,6 +399,7 @@ class FusedDevice:
             T=m.T, GLW=m.GLW, P=m.planes, F1_max=m.F1_max,
             F2_max=m.F2_max, F1S=m.F1S, OBp=m.OBp,
             n_steps=m.n_steps, n_slabs=m.n_slabs,
+            S=getattr(m, "SGRP", 1),
             fin_direct=m.fin_direct,
             interpret=self.interpret)
         # per-slab contiguous slices (NOT an element gather: a 200k

@@ -82,6 +82,7 @@ class FusedMatrix:
     F1S: int                # scratch2 height (pow2*8 >= F1_max)
     n_slabs: int
     fin_direct: int = 0     # 1 = stage 2 reads the step scratch directly
+    SGRP: int = 1           # sub-steps folded into one kernel grid step
 
     @property
     def G(self) -> int:
@@ -501,7 +502,8 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                T: Optional[int] = None, value_dtype=np.float32,
                use_native: bool = True, slack: float = 0.93,
                slab_steps: int = 12,
-               band_exact: Optional[bool] = None) -> Optional[FusedMatrix]:
+               band_exact: Optional[bool] = None,
+               sgrp: Optional[int] = None) -> Optional[FusedMatrix]:
     """Pack a CSR matrix into the fused resident-x layout.  Returns None
     when the layout does not apply (x too large for VMEM, pathological
     finish, heavy rows) — callers fall back to the classic GStream path.
@@ -534,7 +536,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                     cand = pack_fused(matrix, Q=qc, GLW=GLW, T=T,
                                       value_dtype=value_dtype,
                                       use_native=use_native, slack=slack,
-                                      slab_steps=slab_steps)
+                                      slab_steps=slab_steps, sgrp=sgrp)
                     if cand is None:
                         continue
                     cost = _layout_cost(cand)
@@ -547,7 +549,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                 sc = pack_fused(sample, Q=qc, GLW=GLW, T=T,
                                 value_dtype=value_dtype,
                                 use_native=use_native, slack=slack,
-                                slab_steps=slab_steps)
+                                slab_steps=slab_steps, sgrp=sgrp)
                 scored.append((_layout_cost(sc) if sc is not None
                                else float("inf"), qc))
             scored.sort()
@@ -557,7 +559,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                 cand = pack_fused(matrix, Q=qc, GLW=GLW, T=T,
                                   value_dtype=value_dtype,
                                   use_native=use_native, slack=slack,
-                                  slab_steps=slab_steps)
+                                  slab_steps=slab_steps, sgrp=sgrp)
                 if cand is not None:
                     return cand
             return None
@@ -593,7 +595,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
                 out = pack_fused(matrix, Q=Q, GLW=GLW, T=t_try,
                                  value_dtype=value_dtype,
                                  use_native=use_native, slack=slack,
-                                 slab_steps=slab_steps)
+                                 slab_steps=slab_steps, sgrp=sgrp)
                 if out is not None:
                     return out
             return None
@@ -621,7 +623,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         # the comparison in step padding that the full pack never pays.
         kw2 = dict(Q=Q, GLW=GLW, T=T, value_dtype=value_dtype,
                    use_native=use_native, slack=slack,
-                   slab_steps=slab_steps)
+                   slab_steps=slab_steps, sgrp=sgrp)
         mean_len = nnz / max(c_start.shape[0], 1)
         band_nnz = int(2.5 * T * cpt * mean_len)
         if nnz <= 3 * band_nnz:
@@ -932,6 +934,47 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
     n_slabs = len(slab_results)
     if n_slabs == 0:
         return None
+
+    # ---- grid-step grouping: fold SGRP sub-steps into one kernel grid
+    # step.  Each grid iteration costs ~460 ns of fixed overhead (DMA
+    # issue + grid machinery; measured via the S=1 vs S=2 differential
+    # on chip) — at the scattered regime's T=16 that fixed cost is ~2.5x
+    # the step's ~180 ns of tile compute, and even the T=128 headline
+    # pays ~20%.  Grouping
+    # requires each slab's step count to be a multiple of SGRP (the S
+    # sub-steps of a grid step share one resident out block), so slabs
+    # pad with drained steps; the chooser weighs that padding against
+    # the saved iterations.
+    # calibrated on chip (scripts/exp_sgrp.py): S=1->2 on the headline
+    # saved 24 us over 52 iterations (~460 ns each); the same constant
+    # reproduces the measured scircuit optimum (S=4) and the headline's
+    # S=4 rejection (padding wins)
+    _FIXED_NS = 460.0
+    _TILE_NS = 11.0
+    f1m = max([max((len(st[3][0]) for st in r[2]), default=0)
+               for r in slab_results] + [1])
+    f2m = max([max((len(st[3][2]) for st in r[2]), default=0)
+               for r in slab_results] + [1])
+    step_ns = (T + f1m + f2m) * _TILE_NS
+    sub_bytes = (T * CHUNK * LANES * 6
+                 + (-(-f1m // 4) * 4 + -(-f2m // 4) * 4)
+                 * CHUNK * LANES * 2)
+    counts = [len(r[2]) for r in slab_results]
+    best_s, best_cost = 1, None
+    for s_try in (1, 2, 4, 8, 16):
+        if s_try * sub_bytes * 2 > 9 << 20:   # double-buffered VMEM cap
+            continue
+        padded = sum(-(-c // s_try) * s_try for c in counts)
+        giters = sum(-(-c // s_try) for c in counts)
+        cost = padded * step_ns + giters * _FIXED_NS
+        if best_cost is None or cost < best_cost:
+            best_s, best_cost = s_try, cost
+    SGRP = best_s if sgrp is None else max(1, int(sgrp))
+    if SGRP > 1:
+        for r0s, r1s, steps_l in slab_results:
+            while len(steps_l) % SGRP:
+                steps_l.append(_dummy_step())
+
     n_steps = sum(len(r[2]) for r in slab_results)
     max_rows_slab = max(r[1] - r[0] for r in slab_results)
     OBp = 8           # stage-2 writes aligned (8, 128) out groups
@@ -1029,7 +1072,7 @@ def pack_fused(matrix: CSRMatrix, Q: Optional[int] = None,
         nr_rows=nr_rows, nr_cols=nr_cols, nr_nzeros=nnz,
         Q=Q, GLW=GLW, T=T, GX=GX, OBp=OBp, F1_max=F1_max,
         F2_max=F2_max, F1S=F1S, n_slabs=n_slabs,
-        fin_direct=1 if fin_direct else 0)
+        fin_direct=1 if fin_direct else 0, SGRP=SGRP)
 
 
 def _pack_step_numpy(matrix, c_start, c_end, c_row, cpr_cum, r0, r1,

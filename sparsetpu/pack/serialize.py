@@ -63,9 +63,11 @@ def load_gstream(path: str) -> GStreamMatrix:
         ordered=_meta_ordered(meta))
 
 
+# SGRP last: load_fused zips names with the stored vector, so files
+# written before a trailing scalar existed load with its default
 _FUSED_SCALARS = ("nr_rows", "nr_cols", "nr_nzeros", "Q", "GLW", "T",
                   "GX", "OBp", "F1_max", "F2_max", "F1S", "n_slabs",
-                  "fin_direct")
+                  "fin_direct", "SGRP")
 _FUSED_ARRAYS = ("values", "meta_i1", "meta_rt", "tile_base",
                  "fin1_i1", "fin1_rt", "fin2_i1", "fin2_rt",
                  "fin2_group", "fin1_cnt", "fin2_cnt",

@@ -376,3 +376,32 @@ def test_band_exact_wide_columns_falls_back():
     auto = pack_fused(m)
     assert auto is not None
     _check(m, auto)
+
+
+def test_sgrp_grouped_steps_bitwise():
+    """Folding S sub-steps into one grid step (SGRP) is a pure grid
+    re-grouping: the same packed tiles produce the SAME y bitwise, the
+    only difference being slab-end dummy padding steps (which add exact
+    zeros)."""
+    m = random_csr(20_000, 90_000, density=5.6 / 90_000, seed=3)
+    ys = []
+    for s in (1, 2, 4):
+        p = pack_fused(m, Q=1, sgrp=s)
+        assert p.SGRP == s
+        assert p.n_steps % s == 0
+        d = FusedDevice(p, interpret=True)
+        x = np.random.default_rng(5).standard_normal(m.nr_cols)
+        ys.append(np.asarray(d.spmv(x)))
+    assert np.array_equal(ys[0], ys[1])
+    assert np.array_equal(ys[0], ys[2])
+
+
+def test_sgrp_chooser_scattered():
+    """Small-T scattered packs are per-grid-step-overhead-bound: the
+    SGRP chooser must fold sub-steps (measured on chip: scircuit-class
+    12.8 -> 16.7 Gnnz/s at S=4)."""
+    m = random_csr(20_000, 90_000, density=5.6 / 90_000, seed=3)
+    p = pack_fused(m, Q=1)
+    assert p.T <= 32
+    assert p.SGRP >= 2
+    _check(m, p)
